@@ -1,0 +1,250 @@
+"""Compiled samplers: greedy, multinomial fan-out, beam search.
+
+Reference counterparts (all host-side Python token loops that re-run the
+whole decoder per token):
+
+- greedy: `validate_generate_MMT_v15_4.py:723-775` (argmax of
+  temperature-scaled softmax; early exit when every sequence emits <PAD>)
+- multinomial: `mmt_result_test_functions_15_4.py:791-830` batched over a
+  128-way duplicated encoder memory (`run_batch_gen_val_MMT_v15_4.py:93-107`)
+- beam: `validate_generate_MMT_v15_4.py:995-1094` (per-sample Python beam
+  with multiplicative probabilities)
+
+Here each sampler is ONE ``lax.while_loop``/``lax.scan`` over the KV-cached
+``decoder_step``; fan-out and beams are just batch dimensions. Sequences
+that finish (<EOS> or <PAD>) are frozen to <PAD>, which leaves decoded
+strings identical to the reference while allowing whole-batch early exit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import vocab
+from ..utils.config import ModelConfig
+from .functional import (
+    CrossKV,
+    DecodeState,
+    decoder_step,
+    gather_lanes,
+    init_cache,
+    precompute_cross_kv,
+)
+
+Array = jax.Array
+Params = Any
+
+
+class DecodeResult(NamedTuple):
+    tokens: Array  # [B, T] generated ids (no <SOS>), <PAD>-filled after finish
+    token_probs: Array  # [B, T] probability of each emitted token
+    lengths: Array  # [B] #tokens before (incl.) the finishing token
+
+
+def _loop_decode(
+    params: Params,
+    cfg: ModelConfig,
+    cross: CrossKV,
+    batch: int,
+    select_fn,  # (logits [B,V], t) -> (next_token [B], prob [B])
+    max_len: int,
+    dtype=jnp.float32,
+    early_exit: bool = True,
+) -> DecodeResult:
+    """Shared while-loop skeleton for greedy/multinomial."""
+
+    class S(NamedTuple):
+        t: Array
+        cache: DecodeState
+        last: Array  # [B] tokens fed at step t
+        out: Array  # [B, max_len]
+        probs: Array  # [B, max_len]
+        finished: Array  # [B] bool
+        all_done: Array  # scalar bool
+
+    init = S(
+        t=jnp.asarray(0, jnp.int32),
+        cache=init_cache(cfg, batch, dtype),
+        last=jnp.full((batch,), vocab.SOS_ID, jnp.int32),
+        out=jnp.zeros((batch, max_len), jnp.int32),
+        probs=jnp.zeros((batch, max_len), dtype),
+        finished=jnp.zeros((batch,), bool),
+        all_done=jnp.asarray(False),
+    )
+
+    def cond(s: S):
+        return (s.t < max_len) & ~s.all_done
+
+    def body(s: S):
+        logits, cache = decoder_step(params, cfg, s.cache, s.last, s.t, cross)
+        nxt, prob = select_fn(logits, s.t)
+        nxt = jnp.where(s.finished, vocab.PAD_ID, nxt).astype(jnp.int32)
+        prob = jnp.where(s.finished, 0.0, prob)
+        out = s.out.at[:, s.t].set(nxt)
+        probs = s.probs.at[:, s.t].set(prob)
+        finished = s.finished | (nxt == vocab.EOS_ID) | (nxt == vocab.PAD_ID)
+        all_done = jnp.all(finished) if early_exit else jnp.asarray(False)
+        return S(s.t + 1, cache, nxt, out, probs, finished, all_done)
+
+    final = jax.lax.while_loop(cond, body, init)
+    # length = index of EOS + 1, or #non-PAD tokens if never finished
+    has_eos = jnp.any(final.out == vocab.EOS_ID, axis=1)
+    eos_pos = jnp.argmax(final.out == vocab.EOS_ID, axis=1)
+    lengths = jnp.where(has_eos, eos_pos + 1, jnp.sum(final.out != vocab.PAD_ID, axis=1))
+    return DecodeResult(final.out, final.probs, lengths)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "early_exit"))
+def greedy_decode(
+    params: Params,
+    cfg: ModelConfig,
+    memory: Array,  # [B, S, D]
+    memory_kpm: Array,  # [B, S] bool
+    temperature: float = 1.0,
+    max_len: int = 128,
+    early_exit: bool = True,
+) -> DecodeResult:
+    cross = precompute_cross_kv(params, cfg, memory, memory_kpm)
+
+    def select(logits, t):
+        probs = jax.nn.softmax(logits / temperature, axis=-1)
+        nxt = jnp.argmax(probs, axis=-1)
+        return nxt, jnp.take_along_axis(probs, nxt[:, None], axis=-1)[:, 0]
+
+    return _loop_decode(params, cfg, cross, memory.shape[0], select, max_len, memory.dtype, early_exit)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "fanout", "early_exit"))
+def multinomial_decode(
+    params: Params,
+    cfg: ModelConfig,
+    memory: Array,  # [B, S, D]
+    memory_kpm: Array,
+    rng: jax.Array,
+    temperature: float | Array = 1.0,
+    max_len: int = 128,
+    fanout: int = 1,
+    early_exit: bool = True,
+) -> DecodeResult:
+    """Temperature sampling. With ``fanout=N`` the memory is broadcast N ways
+    (the reference's ``duplicate_dict`` 128-way fan-out) and B*N candidate
+    sequences are sampled in one compiled loop."""
+    if fanout > 1:
+        B, S, D = memory.shape
+        memory = jnp.repeat(memory, fanout, axis=0)
+        memory_kpm = jnp.repeat(memory_kpm, fanout, axis=0)
+    cross = precompute_cross_kv(params, cfg, memory, memory_kpm)
+    batch = memory.shape[0]
+
+    def select(logits, t):
+        step_rng = jax.random.fold_in(rng, t)
+        scaled = logits / temperature
+        nxt = jax.random.categorical(step_rng, scaled, axis=-1)
+        probs = jax.nn.softmax(scaled, axis=-1)
+        return nxt, jnp.take_along_axis(probs, nxt[:, None], axis=-1)[:, 0]
+
+    return _loop_decode(params, cfg, cross, batch, select, max_len, memory.dtype, early_exit)
+
+
+class BeamResult(NamedTuple):
+    tokens: Array  # [B, K, T] beams sorted best-first
+    scores: Array  # [B, K] sum of token log-probs (log of the reference's
+    # multiplicative probability score)
+    lengths: Array  # [B, K]
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "beam_size", "early_exit"))
+def beam_search(
+    params: Params,
+    cfg: ModelConfig,
+    memory: Array,  # [B, S, D]
+    memory_kpm: Array,
+    beam_size: int = 5,
+    temperature: float = 1.0,
+    max_len: int = 128,
+    early_exit: bool = True,
+) -> BeamResult:
+    """Batched beam search in a single compiled loop.
+
+    Differences from the reference's host-side beam
+    (`validate_generate_MMT_v15_4.py:995-1094`), by design:
+    - scores are summed log-probs (monotonic transform of the reference's
+      product of probs — identical ranking),
+    - finished beams are frozen with a single <PAD> continuation instead of
+      the reference's seen-set dedup (which can return duplicate prefixes).
+    """
+    B, S, D = memory.shape
+    K = beam_size
+    V = cfg.smiles_vocab_size
+    NEG = jnp.asarray(-1e30, memory.dtype)
+
+    mem = jnp.repeat(memory, K, axis=0)  # [B*K, S, D]
+    kpm = jnp.repeat(memory_kpm, K, axis=0)
+    cross = precompute_cross_kv(params, cfg, mem, kpm)
+
+    class S(NamedTuple):
+        t: Array
+        cache: DecodeState
+        last: Array  # [B*K]
+        out: Array  # [B, K, max_len]
+        scores: Array  # [B, K]
+        finished: Array  # [B, K]
+        all_done: Array
+
+    scores0 = jnp.full((B, K), NEG, memory.dtype).at[:, 0].set(0.0)
+    init = S(
+        t=jnp.asarray(0, jnp.int32),
+        cache=init_cache(cfg, B * K, memory.dtype),
+        last=jnp.full((B * K,), vocab.SOS_ID, jnp.int32),
+        out=jnp.zeros((B, K, max_len), jnp.int32),
+        scores=scores0,
+        finished=jnp.zeros((B, K), bool),
+        all_done=jnp.asarray(False),
+    )
+
+    def cond(s: S):
+        return (s.t < max_len) & ~s.all_done
+
+    def body(s: S):
+        logits, cache = decoder_step(params, cfg, s.cache, s.last, s.t, cross)
+        logp = jax.nn.log_softmax(logits / temperature, axis=-1).reshape(B, K, V)
+        # finished beams: only a <PAD> continuation, at zero cost
+        pad_only = jnp.full((V,), NEG, logp.dtype).at[vocab.PAD_ID].set(0.0)
+        logp = jnp.where(s.finished[:, :, None], pad_only[None, None, :], logp)
+        combined = s.scores[:, :, None] + logp  # [B, K, V]
+        flat = combined.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, K)  # [B, K]
+        parent = top_idx // V  # [B, K] source beam
+        token = (top_idx % V).astype(jnp.int32)
+
+        # Reorder per-sample beam state by parent. The gather reads the
+        # *post-step* cache so the reordered rows include this step's K/V.
+        gather = (jnp.arange(B)[:, None] * K + parent).reshape(-1)  # [B*K]
+        out = jnp.take_along_axis(s.out, parent[:, :, None], axis=1)
+        out = out.at[:, :, s.t].set(token)
+        finished = jnp.take_along_axis(s.finished, parent, axis=1)
+        finished = finished | (token == vocab.EOS_ID) | (token == vocab.PAD_ID)
+        all_done = jnp.all(finished) if early_exit else jnp.asarray(False)
+        return S(
+            s.t + 1,
+            gather_lanes(cache, gather),
+            token.reshape(-1),
+            out,
+            top_scores,
+            finished,
+            all_done,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    order = jnp.argsort(-final.scores, axis=1)
+    tokens = jnp.take_along_axis(final.out, order[:, :, None], axis=1)
+    scores = jnp.take_along_axis(final.scores, order, axis=1)
+    has_eos = jnp.any(tokens == vocab.EOS_ID, axis=2)
+    eos_pos = jnp.argmax(tokens == vocab.EOS_ID, axis=2)
+    lengths = jnp.where(has_eos, eos_pos + 1, jnp.sum(tokens != vocab.PAD_ID, axis=2))
+    return BeamResult(tokens, scores, lengths)

@@ -175,21 +175,29 @@ class MultimodalTransformer(nn.Module):
 
     def _cond_embeddings(self, batch: MMTBatch, deterministic: bool):
         """Embed the conditioning suffix [MF | MS | MW] shared by every
-        modality sequence. Returns (emb [B, cond_len, D], mask [B, cond_len])."""
+        modality sequence. Returns (emb [B, cond_len, D], mask [B, cond_len]).
+
+        All three embeddings are computed unconditionally (their cost is
+        negligible) so the parameter tree always contains every table, like
+        the reference torch model which registers all submodules regardless
+        of training_mode — this keeps checkpoints interchangeable across
+        modality configurations.
+        """
         cfg = self.cfg
+        e_mf = jax.nn.relu(self.embed_mf(batch.src_mf))
+        e_ms = jax.nn.relu(self.embed_ms(batch.src_ms))
+        mw = batch.mw.astype(self._dtype)[:, None, None]  # [B,1,1]
+        e_mw = jax.nn.relu(self.embed_mw(mw))  # [B,1,D]
+
         embs, masks = [], []
         if cfg.modalities.use_mf:
-            e = jax.nn.relu(self.embed_mf(batch.src_mf))
-            embs.append(e)
+            embs.append(e_mf)
             masks.append(batch.mask_mf.astype(bool))
         if cfg.modalities.use_ms:
-            e = jax.nn.relu(self.embed_ms(batch.src_ms))
-            embs.append(e)
+            embs.append(e_ms)
             masks.append(batch.mask_ms.astype(bool))
         if cfg.modalities.use_mw:
-            mw = batch.mw.astype(self._dtype)[:, None, None]  # [B,1,1]
-            e = jax.nn.relu(self.embed_mw(mw))  # [B,1,D]
-            embs.append(e)
+            embs.append(e_mw)
             masks.append(jnp.zeros((batch.batch_size, 1), dtype=bool))
         if not embs:
             B = batch.batch_size
@@ -301,9 +309,11 @@ class MultimodalTransformer(nn.Module):
         mask = causal_mask(T, dtype=self._dtype)
         dec = self.decoder(emb, memory, mask, memory_key_padding_mask, deterministic)
         logits = self.fc_out(dec)
+        # blend path computed unconditionally so its params always exist
+        # (torch registers the module either way); applied only when enabled.
+        avg_memory = jnp.mean(memory, axis=1)
+        blend = self.real_data_linear(avg_memory)  # [B, vocab]
         if cfg.use_real_data:
-            avg_memory = jnp.mean(memory, axis=1)
-            blend = self.real_data_linear(avg_memory)  # [B, vocab]
             logits = (logits + blend[:, None, :]) / 2
         return logits
 

@@ -1,1 +1,8 @@
-
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)

@@ -1,0 +1,102 @@
+"""Device mesh construction and sharding rules.
+
+The reference scales with PyTorch-Lightning DDP over NCCL
+(`MT_functions_v15_4.py:139-153`) — data parallelism only, gradient
+all-reduce on every step. The TPU-native equivalent is GSPMD: build a
+``jax.sharding.Mesh`` with a ``data`` axis (and an optional ``model`` axis
+for tensor parallelism), annotate array shardings, and let XLA place the
+collectives on ICI.
+
+At 26M parameters the MMT is pure-DP territory; the ``model`` axis exists
+for framework generality (Megatron-style column/row-parallel FFN and
+head-parallel attention) and is exercised by the multi-chip dry-run tests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    """Create a (data, model) mesh. ``data=-1`` uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# --- parameter partitioning (tensor parallelism) -----------------------------
+#
+# Megatron-style sharding for the transformer blocks, expressed as rules over
+# flax param paths. Attention QKV is head-parallel (rows of in_proj_weight),
+# its output projection row-parallel (contraction dim); the FFN is
+# column-parallel then row-parallel. Everything else (embeddings, norms,
+# heads) is replicated — XLA inserts the single all-reduce per block.
+_TP_RULES: list[tuple[re.Pattern, P]] = [
+    # torch-layout [3D, D] / [D, D] attention projections; note a leading
+    # stacked-modality axis may precede these two dims.
+    (re.compile(r"in_proj_weight$"), P(MODEL_AXIS, None)),
+    (re.compile(r"in_proj_bias$"), P(MODEL_AXIS)),
+    (re.compile(r"out_proj_weight$"), P(None, MODEL_AXIS)),
+    # flax-layout [in, out] FFN kernels
+    (re.compile(r"linear1/(kernel|bias)$"), P(None, MODEL_AXIS) ),
+    (re.compile(r"linear2/kernel$"), P(MODEL_AXIS, None)),
+]
+
+
+def _spec_for(path: str, ndim: int, tp: bool) -> P:
+    if tp:
+        for pat, spec in _TP_RULES:
+            if pat.search(path):
+                concrete = list(spec)
+                if path.endswith("linear1/bias") :
+                    concrete = [MODEL_AXIS]
+                # right-align the 2D rule onto possibly >2D stacked params
+                pad = ndim - len(concrete)
+                if pad >= 0:
+                    return P(*([None] * pad + concrete))
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any, tensor_parallel: bool = False):
+    """NamedShardings for a parameter pytree.
+
+    With ``tensor_parallel=False`` (the right choice for the 26M MMT) every
+    parameter is replicated; gradients all-reduce over ``data``.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    specs = {}
+    for kp, leaf in flat:
+        specs[path_str(kp)] = _spec_for(path_str(kp), np.ndim(leaf), tensor_parallel)
+
+    def assign(kp, leaf):
+        return NamedSharding(mesh, specs[path_str(kp)])
+
+    return jax.tree_util.tree_map_with_path(assign, params)

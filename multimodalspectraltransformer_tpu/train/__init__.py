@@ -1,1 +1,3 @@
-
+from . import loss, state, step  # noqa: F401
+from .state import TrainState, create_state  # noqa: F401
+from .step import StepMetrics, TrainBatch, eval_step, train_step  # noqa: F401

@@ -1,13 +1,20 @@
 """Test configuration: force an 8-device virtual CPU mesh so sharding and
-pjit paths are exercised without TPU hardware (SURVEY.md §4)."""
+pjit paths are exercised without TPU hardware (SURVEY.md §4).
+
+Note: the environment's sitecustomize imports jax and registers the real
+TPU ('axon') backend before pytest starts, so env vars alone are too late —
+the platform must be overridden through jax.config.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, jax.devices()

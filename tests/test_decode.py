@@ -1,0 +1,152 @@
+"""KV-cached decoding correctness.
+
+The load-bearing invariant: one pass of the cached ``decoder_step`` loop
+must reproduce the teacher-forced full-prefix decoder (which is itself
+torch-parity-tested), i.e. the cache is mathematically transparent. This is
+the guarantee that replaces the reference's recompute-everything loops.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalspectraltransformer_tpu.decode import samplers
+from multimodalspectraltransformer_tpu.models import mmt
+from multimodalspectraltransformer_tpu.utils import vocab
+from multimodalspectraltransformer_tpu.utils.config import ModelConfig
+
+CFG = ModelConfig(num_encoder_layers=1, num_decoder_layers=2, ffn_dim=128)
+
+
+_CACHE: dict = {}
+
+
+def _setup(batch=3, seed=0):
+    key = (batch, seed)
+    if key in _CACHE:
+        return _CACHE[key]
+    model = mmt.MultimodalTransformer(CFG)
+    rng = jax.random.PRNGKey(seed)
+    batch_in = mmt.dummy_batch(CFG, batch)
+    # give the encoder real (random) spectra so memory is nontrivial
+    batch_in = batch_in._replace(
+        src_1h=jax.random.uniform(rng, batch_in.src_1h.shape),
+        src_hsqc=jax.random.uniform(jax.random.fold_in(rng, 1), batch_in.src_hsqc.shape),
+        mw=jnp.linspace(100.0, 300.0, batch),
+    )
+    # everything jitted: unjitted init/apply dispatch op-by-op on CPU and
+    # take minutes even for tiny models
+    variables = jax.jit(lambda r, b, t: model.init(r, b, t, True))(
+        {"params": jax.random.PRNGKey(42)}, batch_in, jnp.zeros((batch, 4), jnp.int32)
+    )
+    enc = jax.jit(lambda v, b: model.apply(v, b, None, True))(variables, batch_in)
+    _CACHE[key] = (model, variables, enc)
+    return model, variables, enc
+
+
+def _full_prefix_greedy(model, variables, enc, max_len, temperature=1.0):
+    """Reference-style loop: re-run the whole decoder on the growing prefix
+    each step (`validate_generate_MMT_v15_4.py:723-775`). The prefix is kept
+    at a fixed padded length so the oracle compiles once; causal masking
+    makes positions beyond the current step irrelevant."""
+    B = enc.memory.shape[0]
+
+    @jax.jit
+    def step_logits(tokens):
+        return model.apply(
+            variables, tokens, enc.memory, enc.memory_key_padding_mask, True, method="decode"
+        )
+
+    tokens = np.zeros((B, max_len + 1), np.int32)
+    tokens[:, 0] = vocab.SOS_ID
+    out, probs = [], []
+    finished = np.zeros(B, bool)
+    for t in range(max_len):
+        logits = step_logits(jnp.asarray(tokens))
+        p = jax.nn.softmax(logits[:, t, :] / temperature, axis=-1)
+        nxt = np.asarray(jnp.argmax(p, axis=-1))
+        pe = np.asarray(jnp.take_along_axis(p, jnp.asarray(nxt)[:, None], axis=-1))[:, 0]
+        nxt = np.where(finished, vocab.PAD_ID, nxt)
+        pe = np.where(finished, 0.0, pe)
+        out.append(nxt)
+        probs.append(pe)
+        finished |= (nxt == vocab.EOS_ID) | (nxt == vocab.PAD_ID)
+        tokens[:, t + 1] = nxt
+        if finished.all():
+            break
+    T = len(out)
+    res_t = np.zeros((B, max_len), np.int32)
+    res_p = np.zeros((B, max_len), np.float64)
+    res_t[:, :T] = np.stack(out, 1)
+    res_p[:, :T] = np.stack(probs, 1)
+    return res_t, res_p
+
+
+def test_cached_greedy_matches_full_prefix():
+    model, variables, enc = _setup()
+    max_len = 16
+    ref_t, ref_p = _full_prefix_greedy(model, variables, enc, max_len)
+    res = samplers.greedy_decode(
+        variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, 1.0, max_len
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), ref_t)
+    np.testing.assert_allclose(np.asarray(res.token_probs), ref_p, atol=1e-5)
+
+
+def test_greedy_temperature_changes_probs_not_argmax():
+    model, variables, enc = _setup()
+    r1 = samplers.greedy_decode(variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, 1.0, 16)
+    r2 = samplers.greedy_decode(variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, 0.5, 16)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+    assert not np.allclose(np.asarray(r1.token_probs), np.asarray(r2.token_probs))
+
+
+def test_multinomial_fanout_shapes_and_determinism():
+    model, variables, enc = _setup(batch=2)
+    rng = jax.random.PRNGKey(7)
+    res = samplers.multinomial_decode(
+        variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, rng, 1.0, 16, fanout=4
+    )
+    assert res.tokens.shape == (8, 16)
+    res2 = samplers.multinomial_decode(
+        variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, rng, 1.0, 16, fanout=4
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(res2.tokens))
+    # different key -> (almost surely) different samples
+    res3 = samplers.multinomial_decode(
+        variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, jax.random.PRNGKey(8), 1.0, 16, fanout=4
+    )
+    assert not np.array_equal(np.asarray(res.tokens), np.asarray(res3.tokens))
+
+
+def test_multinomial_probs_are_selected_token_probs():
+    model, variables, enc = _setup(batch=1)
+    rng = jax.random.PRNGKey(3)
+    res = samplers.multinomial_decode(
+        variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, rng, 1.0, 8
+    )
+    p = np.asarray(res.token_probs)
+    t = np.asarray(res.tokens)
+    live = t != vocab.PAD_ID
+    assert (p[live] > 0).all() and (p[live] <= 1).all()
+
+
+def test_beam_size_1_equals_greedy():
+    model, variables, enc = _setup()
+    g = samplers.greedy_decode(variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, 1.0, 16)
+    b = samplers.beam_search(variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, 1, 1.0, 16)
+    np.testing.assert_array_equal(np.asarray(b.tokens[:, 0, :]), np.asarray(g.tokens))
+
+
+def test_beam_scores_sorted_and_distinct():
+    model, variables, enc = _setup(batch=2)
+    b = samplers.beam_search(variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, 4, 1.0, 16)
+    s = np.asarray(b.scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()  # descending
+    # best beam score >= greedy sequence logprob
+    g = samplers.greedy_decode(variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, 1.0, 16)
+    gp = np.asarray(g.token_probs)
+    glen = np.asarray(g.lengths)
+    for i in range(2):
+        greedy_logp = np.sum(np.log(np.maximum(gp[i, : glen[i]], 1e-30)))
+        assert s[i, 0] >= greedy_logp - 1e-4

@@ -1,0 +1,129 @@
+"""Training-step tests: loss parity with torch, overfit-one-batch, and
+data-parallel sharding over the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalspectraltransformer_tpu import parallel
+from multimodalspectraltransformer_tpu.models import mmt
+from multimodalspectraltransformer_tpu.train import TrainBatch, create_state, eval_step, loss, train_step
+from multimodalspectraltransformer_tpu.utils.config import MMTConfig, ModelConfig, TrainConfig
+
+CFG = MMTConfig(
+    model=ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=128),
+    train=TrainConfig(learning_rate=1e-3, weight_fp=0.1),
+)
+
+
+def _make_batch(cfg: ModelConfig, batch=8, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    inputs = mmt.dummy_batch(cfg, batch)
+    inputs = inputs._replace(
+        src_1h=jax.random.uniform(rng, inputs.src_1h.shape),
+        mw=jnp.linspace(100, 400, batch),
+    )
+    trg = jax.random.randint(jax.random.fold_in(rng, 1), (batch, 64), 0, cfg.smiles_vocab_size)
+    trg = trg.at[:, 0].set(3).at[:, 20].set(2).at[:, 21:].set(0)
+    fp = jax.random.bernoulli(jax.random.fold_in(rng, 2), 0.1, (batch, cfg.fingerprint_size)).astype(jnp.float32)
+    return TrainBatch(inputs, trg, fp)
+
+
+def test_cross_entropy_matches_torch():
+    torch = pytest.importorskip("torch")
+    B, T, V = 4, 63, 43
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(B, T, V)).astype(np.float32)
+    targets = rng.integers(0, V, size=(B, T))
+    ref = torch.nn.CrossEntropyLoss()(
+        torch.tensor(logits).reshape(-1, V), torch.tensor(targets).reshape(-1)
+    ).item()
+    ours = loss.smiles_cross_entropy(jnp.asarray(logits), jnp.asarray(targets))
+    assert abs(float(ours) - ref) < 1e-5
+
+
+def test_fingerprint_bce_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=(4, 512)).astype(np.float32)
+    y = (rng.random((4, 512)) < 0.2).astype(np.float32)
+    ref = torch.nn.BCEWithLogitsLoss()(torch.tensor(z), torch.tensor(y)).item()
+    ours = loss.fingerprint_bce(jnp.asarray(z), jnp.asarray(y))
+    assert abs(float(ours) - ref) < 1e-5
+
+
+def test_overfit_one_batch():
+    model = mmt.MultimodalTransformer(CFG.model)
+    batch = _make_batch(CFG.model, batch=4)
+    params = mmt.init_params(CFG.model, jax.random.PRNGKey(0), batch_size=4)
+    state = create_state(CFG.train, params)
+    rng = jax.random.PRNGKey(123)
+
+    first = None
+    for _ in range(30):
+        state, metrics = train_step(model, CFG, state, batch, rng)
+        if first is None:
+            first = float(metrics.loss)
+    last = float(metrics.loss)
+    assert np.isfinite(last)
+    assert last < first * 0.5, (first, last)
+    assert float(metrics.token_accuracy) > 0.2
+
+
+def test_eval_step_deterministic():
+    model = mmt.MultimodalTransformer(CFG.model)
+    batch = _make_batch(CFG.model, batch=4)
+    params = mmt.init_params(CFG.model, jax.random.PRNGKey(0), batch_size=4)
+    m1 = eval_step(model, CFG, params, batch)
+    m2 = eval_step(model, CFG, params, batch)
+    assert float(m1.loss) == float(m2.loss)
+
+
+def test_data_parallel_step_matches_single_device():
+    """The sharded step over an 8-device mesh must produce the same loss and
+    the same updated params as the unsharded step."""
+    model = mmt.MultimodalTransformer(CFG.model)
+    batch = _make_batch(CFG.model, batch=8)
+    params = mmt.init_params(CFG.model, jax.random.PRNGKey(0), batch_size=8)
+    rng = jax.random.PRNGKey(5)
+
+    # prepare the sharded copies first: train_step donates its state, so the
+    # original param buffers are consumed by the first call
+    mesh = parallel.make_mesh(data=8, model=1)
+    shardings = parallel.param_shardings(mesh, params, tensor_parallel=False)
+    sharded_params = jax.device_put(params, shardings)
+    sharded_state = create_state(CFG.train, sharded_params)
+    bs = parallel.batch_sharding(mesh)
+    sharded_batch = jax.tree.map(lambda x: jax.device_put(x, bs), batch)
+
+    # single-device result (real copies: device_put with a replicated
+    # sharding aliases buffers on CPU, and train_step donates its state)
+    params_copy = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+    state = create_state(CFG.train, params_copy)
+    state1, metrics1 = train_step(model, CFG, state, batch, rng)
+
+    # sharded result
+    state2, metrics2 = train_step(model, CFG, sharded_state, sharded_batch, rng)
+
+    assert abs(float(metrics1.loss) - float(metrics2.loss)) < 1e-5
+    # Adam normalizes by sqrt(v): on step 1 updates are +-lr wherever the
+    # gradient is nonzero, and sharded-reduction fp noise flips a few signs
+    # of near-zero gradients. Allow half an update of slack (lr=1e-3).
+    l1 = jax.tree.leaves(state1.params)
+    l2 = jax.tree.leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_tensor_parallel_shardings_cover_ffn():
+    mesh = parallel.make_mesh(data=4, model=2)
+    params = mmt.init_params(CFG.model, jax.random.PRNGKey(0))
+    sh = parallel.param_shardings(mesh, params, tensor_parallel=True)
+    spec = sh["decoder"]["layers_0"]["linear1"]["kernel"].spec
+    assert parallel.MODEL_AXIS in [s for s in spec if s]
+    spec_attn = sh["decoder"]["layers_0"]["self_attn"]["in_proj_weight"].spec
+    assert parallel.MODEL_AXIS in [s for s in spec_attn if s]
+    # stacked modality encoders get a right-aligned spec (leading axis free)
+    spec_stack = sh["modality_encoders"]["layers_0"]["self_attn"]["in_proj_weight"].spec
+    assert len(spec_stack) == 3 and spec_stack[0] is None
