@@ -1,0 +1,359 @@
+"""Host-side data pipeline: spectra CSVs -> fixed-shape device batches.
+
+Reference counterpart: ``MultimodalData``/``collate_fn``
+(`dataloaders_pl_v15_4.py:143-712`). Same on-disk format:
+
+- per-modality CSVs with columns ``sample-id``, ``SMILES`` and ``shifts``
+  holding stringified Python lists — 1H: ``[[ppm, intensity], ...]``,
+  13C: ``[ppm, ...]``, HSQC: ``[[ppmH, ppmC], ...]``, COSY: ``[[ppmH,
+  ppmH], ...]`` (`dataloaders_pl_v15_4.py:456-550`),
+- IR: one CSV per sample id with a ``spectra`` column (~1801 points),
+  mean-binned to ``ir_bins`` and max-normalized (`:324-346`).
+
+Same normalizations: 1H ppm/10 (intensity untouched), 13C ppm/200, HSQC
+(H/10, C/200), COSY (H/10, H/10); zero-pad to ``spectrum_points`` with
+inverted masks (1 = padding); random per-sample modality blanking with
+``blank_percentage`` falling back to 1H+13C when everything blanked
+(`:597-626`); SMILES canonicalized and tokenized with <SOS>/<EOS> framing;
+512-bit Morgan fingerprint target.
+
+TPU-first differences: every sample is featurized to *static shapes* as
+numpy, batches are plain stacks (no dynamic re-padding), and the loader is
+a deterministic, seeded, per-host-shardable iterator.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import pickle
+import random
+from dataclasses import dataclass, field
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ..chem import api as chem
+from ..chem import tokenizer
+from ..models.mmt import MMTBatch
+from ..train.step import TrainBatch
+from ..utils.config import DataConfig, ModelConfig
+
+MODALITY_KEYS = ("1H", "13C", "HSQC", "COSY")
+
+
+@dataclass
+class SampleRecord:
+    sample_id: str
+    smiles: str
+    h1: Optional[list] = None  # [[ppm, intensity], ...]
+    c13: Optional[list] = None  # [ppm, ...]
+    hsqc: Optional[list] = None  # [[H, C], ...]
+    cosy: Optional[list] = None  # [[H, H], ...]
+    ir: Optional[np.ndarray] = None  # raw spectrum (any length)
+
+
+def _parse_shifts(value):
+    if isinstance(value, str):
+        return ast.literal_eval(value)
+    return value
+
+
+def load_spectra_csvs(
+    csv_1h: str = "",
+    csv_13c: str = "",
+    csv_hsqc: str = "",
+    csv_cosy: str = "",
+    ir_folder: str = "",
+    pickle_cache: str = "",
+    limit: int = 0,
+) -> list[SampleRecord]:
+    """Load reference-format CSVs into joined per-sample records
+    (reference `_load_sgnn_data`, `dataloaders_pl_v15_4.py:210-264`)."""
+    if pickle_cache and os.path.exists(pickle_cache):
+        with open(pickle_cache, "rb") as f:
+            return pickle.load(f)
+
+    import pandas as pd
+
+    tables = {}
+    for key, path in (("1H", csv_1h), ("13C", csv_13c), ("HSQC", csv_hsqc), ("COSY", csv_cosy)):
+        if path:
+            df = pd.read_csv(path)
+            tables[key] = {str(r["sample-id"]): (r["SMILES"], r["shifts"]) for _, r in df.iterrows()}
+
+    ids: list[str] = []
+    seen = set()
+    for t in tables.values():
+        for sid in t:
+            if sid not in seen:
+                seen.add(sid)
+                ids.append(sid)
+    if limit:
+        ids = ids[:limit]
+
+    records = []
+    for sid in ids:
+        smiles = None
+        fields: dict = {}
+        for key, attr in (("1H", "h1"), ("13C", "c13"), ("HSQC", "hsqc"), ("COSY", "cosy")):
+            if key in tables and sid in tables[key]:
+                smi, shifts = tables[key][sid]
+                smiles = smiles or smi
+                try:
+                    fields[attr] = _parse_shifts(shifts)
+                except (ValueError, SyntaxError):
+                    fields[attr] = None
+        ir = None
+        if ir_folder:
+            path = os.path.join(ir_folder, f"{sid}.csv")
+            if os.path.exists(path):
+                ir = pd.read_csv(path)["spectra"].to_numpy()
+        if smiles is None:
+            continue
+        records.append(SampleRecord(sid, smiles, ir=ir, **fields))
+
+    if pickle_cache:
+        with open(pickle_cache, "wb") as f:
+            pickle.dump(records, f)
+    return records
+
+
+def bin_ir(raw: np.ndarray, bins: int) -> np.ndarray:
+    """Mean-bin + max-normalize (reference `_load_IR_data`, `:324-346`)."""
+    raw = np.asarray(raw, dtype=np.float64)
+    max_val = raw.max() if raw.size else 1.0
+    span = len(raw) / bins
+    out = np.zeros(bins)
+    start = 0.0
+    for i in range(bins):
+        end = start + span
+        seg = raw[round(start) : round(end)]
+        out[i] = seg.mean() / max_val if seg.size else 0.0
+        start = end
+    return out
+
+
+def _pad_points(points: Sequence, length: int, dims: int) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad to [length(, dims)] with inverted mask (1 = padding),
+    truncating overlong lists (reference `_zero_pad`, `:267-299`)."""
+    mask = np.ones(length, dtype=np.int32)
+    if dims == 1:
+        out = np.zeros(length, dtype=np.float32)
+        pts = np.asarray(points, dtype=np.float32)[:length]
+    else:
+        out = np.zeros((length, dims), dtype=np.float32)
+        pts = np.asarray([list(p) for p in points], dtype=np.float32)[:length]
+    n = len(pts)
+    if n:
+        out[:n] = pts
+        mask[:n] = 0
+    return out, mask
+
+
+@dataclass
+class FeaturizeOptions:
+    blank_percentage: float = 0.0
+    randomize_smiles: bool = False
+    use_ir: bool = True
+
+
+def featurize(
+    rec: SampleRecord,
+    mcfg: ModelConfig,
+    opts: Optional[FeaturizeOptions] = None,
+    rng: Optional[random.Random] = None,
+) -> Optional[dict]:
+    """One sample -> fixed-shape numpy features. None if chemistry fails
+    (mirrors the reference's silent skip)."""
+    opts = opts or FeaturizeOptions()
+    rng = rng or random.Random(0)
+    P = mcfg.spectrum_points
+
+    c_smi = chem.canonicalize(rec.smiles)
+    if c_smi is None:
+        return None
+    mf = chem.mol_formula(c_smi)
+    mw = chem.exact_mol_wt(c_smi)
+    fp = chem.morgan_fp(c_smi, 2, mcfg.fingerprint_size)
+    if mf is None or mw is None or fp is None:
+        return None
+    if opts.randomize_smiles:
+        rnd = chem.randomize(c_smi, rng)
+        if rnd is not None:
+            c_smi = rnd
+
+    out: dict = {}
+    active = []
+
+    def blanked() -> bool:
+        return rng.random() < opts.blank_percentage
+
+    # 1H: [ppm/10, intensity]
+    if rec.h1 is not None and not blanked():
+        pts = [[s[0] / 10.0, s[1]] for s in rec.h1]
+        out["src_1h"], out["mask_1h"] = _pad_points(pts, P, 2)
+        active.append("1H")
+    else:
+        out["src_1h"], out["mask_1h"] = np.zeros((P, 2), np.float32), np.ones(P, np.int32)
+
+    # 13C: ppm/200
+    if rec.c13 is not None and not blanked():
+        pts = [s / 200.0 for s in rec.c13]
+        out["src_13c"], out["mask_13c"] = _pad_points(pts, P, 1)
+        active.append("13C")
+    else:
+        out["src_13c"], out["mask_13c"] = np.zeros(P, np.float32), np.ones(P, np.int32)
+
+    # HSQC: [H/10, C/200]
+    if rec.hsqc is not None and not blanked():
+        pts = [[p[0] / 10.0, p[1] / 200.0] for p in rec.hsqc]
+        out["src_hsqc"], out["mask_hsqc"] = _pad_points(pts, P, 2)
+        active.append("HSQC")
+    else:
+        out["src_hsqc"], out["mask_hsqc"] = np.zeros((P, 2), np.float32), np.ones(P, np.int32)
+
+    # COSY: [H/10, H/10]
+    if rec.cosy is not None and not blanked():
+        pts = [[p[0] / 10.0, p[1] / 10.0] for p in rec.cosy]
+        out["src_cosy"], out["mask_cosy"] = _pad_points(pts, P, 2)
+        active.append("COSY")
+    else:
+        out["src_cosy"], out["mask_cosy"] = np.zeros((P, 2), np.float32), np.ones(P, np.int32)
+
+    # IR
+    if opts.use_ir and rec.ir is not None and not blanked():
+        out["src_ir"] = bin_ir(rec.ir, mcfg.ir_bins).astype(np.float32)
+        active.append("IR")
+    else:
+        out["src_ir"] = np.zeros(mcfg.ir_bins, np.float32)
+
+    # all blanked -> restore 1H + 13C (reference `:597-626`)
+    if not active:
+        if rec.h1 is not None:
+            pts = [[s[0] / 10.0, s[1]] for s in rec.h1]
+            out["src_1h"], out["mask_1h"] = _pad_points(pts, P, 2)
+        if rec.c13 is not None:
+            pts = [s / 200.0 for s in rec.c13]
+            out["src_13c"], out["mask_13c"] = _pad_points(pts, P, 1)
+
+    out["src_mf"], out["mask_mf"] = tokenizer.encode_mf_framed(mf, mcfg.mf_len)
+    trg, ms_mask = tokenizer.encode_smiles_framed(c_smi, mcfg.spectrum_points)
+    out["src_ms"], out["mask_ms"] = trg.copy(), ms_mask
+    out["mw"] = np.float32(mw)
+    out["trg_tokens"] = trg.astype(np.int32)
+    out["trg_fp"] = fp.astype(np.float32)
+    out["smiles"] = c_smi
+    out["sample_id"] = rec.sample_id
+    return out
+
+
+def collate(samples: Sequence[dict]) -> TrainBatch:
+    """Stack featurized samples into a TrainBatch of device-ready arrays."""
+    st = lambda k: np.stack([s[k] for s in samples])
+    inputs = MMTBatch(
+        src_1h=st("src_1h"), mask_1h=st("mask_1h"),
+        src_13c=st("src_13c"), mask_13c=st("mask_13c"),
+        src_hsqc=st("src_hsqc"), mask_hsqc=st("mask_hsqc"),
+        src_cosy=st("src_cosy"), mask_cosy=st("mask_cosy"),
+        src_ir=st("src_ir"),
+        src_mf=st("src_mf"), mask_mf=st("mask_mf"),
+        src_ms=st("src_ms"), mask_ms=st("mask_ms"),
+        mw=st("mw"),
+    )
+    return TrainBatch(inputs, st("trg_tokens"), st("trg_fp"))
+
+
+@dataclass
+class Loader:
+    """Deterministic, seeded, shardable batch iterator.
+
+    Replaces torch DataLoader+DistributedSampler: each host takes the slice
+    ``host_id::host_count`` of every epoch permutation, so multi-host data
+    parallelism needs no coordination (SURVEY.md §5.8).
+    """
+
+    records: list[SampleRecord]
+    mcfg: ModelConfig
+    batch_size: int
+    opts: FeaturizeOptions = field(default_factory=FeaturizeOptions)
+    seed: int = 0
+    host_id: int = 0
+    host_count: int = 1
+    drop_remainder: bool = True
+
+    def __len__(self) -> int:
+        per_host = len(self.records) // self.host_count
+        return per_host // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[TrainBatch]:
+        order = np.random.default_rng((self.seed, epoch)).permutation(len(self.records))
+        order = order[self.host_id :: self.host_count]
+        rng = random.Random(self.seed * 1_000_003 + epoch * 1009 + self.host_id)
+        buf: list[dict] = []
+        for idx in order:
+            feat = featurize(self.records[int(idx)], self.mcfg, self.opts, rng)
+            if feat is None:
+                continue
+            buf.append(feat)
+            if len(buf) == self.batch_size:
+                yield collate(buf)
+                buf = []
+        if buf and not self.drop_remainder:
+            yield collate(buf)
+
+
+# --------------------------------------------------------------------------
+# Synthetic data: plausible molecules + pseudo-spectra for tests/benchmarks
+# (the reference's data factory needs SGNN/chemprop weights that don't ship;
+# sim/ provides trainable predictors, this provides deterministic fixtures).
+# --------------------------------------------------------------------------
+
+_FRAGMENTS = [
+    "CC", "CCC", "CC(C)", "CCO", "CC=O", "C(=O)O", "C(=O)N", "CN", "CO",
+    "c1ccccc1", "c1ccncc1", "c1ccc(cc1)", "C1CCCCC1", "CCl", "CBr", "C#N",
+    "CF", "CS", "C=C", "COC", "CC(N)",
+]
+
+
+def random_smiles(rng: random.Random, max_frags: int = 4) -> str:
+    """Assemble a random valid molecule by concatenating fragments."""
+    n = rng.randint(1, max_frags)
+    smi = "".join(rng.choice(_FRAGMENTS) for _ in range(n))
+    can = chem.canonicalize(smi)
+    return can if can is not None else "CCO"
+
+
+def synthetic_record(rng: random.Random, sample_id: str) -> SampleRecord:
+    """Deterministic pseudo-spectra derived from the molecule's own
+    structure (hash-based shifts): good enough for pipeline/overfit tests
+    where the model just needs learnable structure<->spectrum correlation."""
+    smi = random_smiles(rng)
+    from ..chem.smiles import parse_smiles
+
+    mol = parse_smiles(smi)
+    h1, c13, hsqc, cosy = [], [], [], []
+    for i, a in enumerate(mol.atoms):
+        env = (hash((a.symbol, mol.degree(i), mol.total_h(i), a.aromatic)) % 1000) / 1000.0
+        if a.symbol == "C":
+            c_shift = 10 + env * 180
+            c13.append(round(c_shift, 2))
+            nh = mol.total_h(i)
+            if nh:
+                h_shift = 0.5 + env * 8
+                h1.append([round(h_shift, 2), nh])
+                hsqc.append([round(h_shift, 2), round(c_shift, 2)])
+        # COSY crosspeaks for adjacent C-H pairs
+    for b in mol.bonds:
+        a1, a2 = mol.atoms[b.a1], mol.atoms[b.a2]
+        if a1.symbol == "C" and a2.symbol == "C" and mol.total_h(b.a1) and mol.total_h(b.a2):
+            e1 = (hash((a1.symbol, mol.degree(b.a1), mol.total_h(b.a1), a1.aromatic)) % 1000) / 1000.0
+            e2 = (hash((a2.symbol, mol.degree(b.a2), mol.total_h(b.a2), a2.aromatic)) % 1000) / 1000.0
+            cosy.append([round(0.5 + e1 * 8, 2), round(0.5 + e2 * 8, 2)])
+    ir = np.abs(np.sin(np.linspace(0, 20, 1801) * (1 + (hash(smi) % 7))))
+    return SampleRecord(sample_id, smi, h1=h1 or None, c13=c13 or None, hsqc=hsqc or None, cosy=cosy or None, ir=ir)
+
+
+def synthetic_dataset(n: int, seed: int = 0) -> list[SampleRecord]:
+    rng = random.Random(seed)
+    return [synthetic_record(rng, str(i)) for i in range(n)]
