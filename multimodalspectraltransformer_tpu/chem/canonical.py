@@ -94,6 +94,32 @@ def canonical_ranks(mol: Mol) -> list[int]:
     return ranks
 
 
+def symmetry_classes(mol: Mol) -> list[int]:
+    """Topological equivalence classes: Morgan refinement WITHOUT the
+    tie-breaking pass, so automorphic atoms (e.g. the two ortho carbons of a
+    mono-substituted benzene) share a class id. This is the first-party
+    replacement for the reference's canonical-rank symmetry detection
+    (`data_generation_v15_4.py:765-796` find_symmetric_positions)."""
+    n = mol.num_atoms
+
+    def refine(ranks: list[int]) -> list[int]:
+        while True:
+            keys = []
+            for i in range(n):
+                neigh = sorted(
+                    _hash(ranks[mol.bonds[bi].other(i)], mol.bonds[bi].order, int(mol.bonds[bi].aromatic))
+                    for bi in mol.adjacency[i]
+                )
+                keys.append((ranks[i], _hash(*neigh)))
+            rank_of = {k: r for r, k in enumerate(sorted(set(keys)))}
+            new_ranks = [rank_of[k] for k in keys]
+            if new_ranks == ranks:
+                return new_ranks
+            ranks = new_ranks
+
+    return refine(_ranks_from_invariants(_initial_invariants(mol)))
+
+
 def _needs_brackets(mol: Mol, i: int) -> bool:
     a = mol.atoms[i]
     if a.symbol not in ORGANIC_SUBSET or a.charge != 0 or a.isotope:

@@ -124,8 +124,9 @@ class MultiheadAttention(nn.Module):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """torch.nn.TransformerEncoderLayer, post-LN, ReLU (the defaults the
-    reference relies on)."""
+    """torch.nn.TransformerEncoderLayer, post-LN (the defaults the
+    reference relies on). ``activation``: "relu" (torch default) or "gelu"
+    (Roberta/BERT towers)."""
 
     d_model: int
     num_heads: int
@@ -133,6 +134,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    activation: str = "relu"
 
     @nn.compact
     def __call__(
@@ -150,7 +152,7 @@ class TransformerEncoderLayer(nn.Module):
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x + attn_out)
 
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
-        y = jax.nn.relu(y)
+        y = jax.nn.relu(y) if self.activation == "relu" else jax.nn.gelu(y, approximate=False)
         y = nn.Dropout(rate=self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
         y = nn.Dropout(rate=self.dropout)(y, deterministic=deterministic)
@@ -169,6 +171,7 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    activation: str = "relu"
 
     @nn.compact
     def __call__(
@@ -187,6 +190,7 @@ class TransformerEncoder(nn.Module):
                 self.dropout,
                 self.layer_norm_eps,
                 self.dtype,
+                self.activation,
                 name=f"layers_{i}",
             )(x, src_key_padding_mask, src_mask, deterministic)
         return x

@@ -1,1 +1,1 @@
-
+from . import clip, matching, qformer  # noqa: F401

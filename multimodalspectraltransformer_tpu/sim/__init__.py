@@ -1,1 +1,1 @@
-
+from . import factory, gnn, graphs, reconstruct  # noqa: F401

@@ -1,0 +1,134 @@
+"""Dense message-passing GNN for molecular property prediction on TPU.
+
+First-party replacement for the reference's two external MPNNs:
+- the SGNN NMR-shift predictor (DGL sparse MPNN, `sgnn_code_pl_v15_4.py`),
+- chemprop-IR (torch MPNN ensemble, `ir_simulation_v15_4.py:26-35`).
+
+Message passing over per-bond-type dense adjacency: one [B, N, N] x
+[B, N, D] matmul per bond type per step — pure MXU work with static
+shapes, instead of sparse gather/scatter. At molecule scale (N<=64) the
+dense form is both faster on TPU and trivially batchable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .graphs import BOND_TYPES
+
+Array = jax.Array
+
+
+class GRUCell(nn.Module):
+    """Minimal GRU update (node-state update in the message-passing loop)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array) -> Array:
+        dense_h = nn.Dense(3 * self.features, use_bias=False, name="hh")
+        dense_x = nn.Dense(3 * self.features, name="ih")
+        gh = dense_h(h)
+        gx = dense_x(x)
+        hr, hz, hn = jnp.split(gh, 3, axis=-1)
+        xr, xz, xn = jnp.split(gx, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        return (1 - z) * n + z * h
+
+
+class MolGNN(nn.Module):
+    """R-GCN-style dense MPNN.
+
+    inputs: nodes [B, N, F], adj [B, T, N, N], node_mask [B, N]
+    output: node embeddings [B, N, D]
+    """
+
+    hidden: int = 128
+    steps: int = 4
+
+    @nn.compact
+    def __call__(self, nodes: Array, adj: Array, node_mask: Array) -> Array:
+        B, N, _ = nodes.shape
+        h = nn.Dense(self.hidden, name="embed")(nodes)
+        h = jax.nn.relu(h)
+        gru = GRUCell(self.hidden, name="update")
+        msg_dense = [nn.Dense(self.hidden, name=f"msg_{t}") for t in range(BOND_TYPES)]
+        for _step in range(self.steps):
+            m = jnp.zeros_like(h)
+            for t in range(BOND_TYPES):
+                # [B, N, N] @ [B, N, D] -> messages summed over neighbors
+                m = m + jnp.einsum("bij,bjd->bid", adj[:, t], msg_dense[t](h))
+            h = gru(h, m)
+            h = h * node_mask[..., None]
+        return h
+
+
+class ShiftHead(nn.Module):
+    """Per-atom scalar regression head (NMR shift in normalized units)."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, node_emb: Array) -> Array:
+        x = nn.Dense(self.hidden)(node_emb)
+        x = jax.nn.relu(x)
+        return nn.Dense(1)(x)[..., 0]
+
+
+class SpectrumHead(nn.Module):
+    """Graph-level spectrum regression (chemprop-IR equivalent: molecule ->
+    non-negative IR absorbance vector, reference output dim 1801)."""
+
+    bins: int = 1801
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, node_emb: Array, node_mask: Array) -> Array:
+        denom = jnp.maximum(node_mask.sum(axis=1, keepdims=True), 1.0)
+        pooled = (node_emb * node_mask[..., None]).sum(axis=1) / denom
+        x = nn.Dense(self.hidden)(pooled)
+        x = jax.nn.relu(x)
+        x = nn.Dense(self.bins)(x)
+        return jax.nn.softplus(x)
+
+
+class NMRShiftModel(nn.Module):
+    """Joint 13C/1H shift predictor (the SGNN-bridge replacement).
+
+    Returns (shift_c [B, N], shift_h [B, N]) in ppm: shift_c is meaningful
+    on carbon atoms, shift_h on H-bearing heavy atoms (the mean shift of
+    that atom's protons — the same per-heavy-atom grouping the reference
+    reconstruction uses, `data_generation_v15_4.py:151-260`).
+    """
+
+    hidden: int = 128
+    steps: int = 4
+
+    @nn.compact
+    def __call__(self, nodes: Array, adj: Array, node_mask: Array):
+        emb = MolGNN(self.hidden, self.steps, name="gnn")(nodes, adj, node_mask)
+        # predictions in normalized units, denormalized by the caller with
+        # dataset statistics (the reference denormalizes with SGNN train
+        # mean/std, `sgnn_code_pl_v15_4.py:417-425`)
+        c = ShiftHead(self.hidden, name="head_c")(emb)
+        hshift = ShiftHead(self.hidden, name="head_h")(emb)
+        return c * node_mask, hshift * node_mask
+
+
+class IRModel(nn.Module):
+    """Chemprop-IR equivalent: molecule graph -> IR spectrum."""
+
+    hidden: int = 128
+    steps: int = 4
+    bins: int = 1801
+
+    @nn.compact
+    def __call__(self, nodes: Array, adj: Array, node_mask: Array) -> Array:
+        emb = MolGNN(self.hidden, self.steps, name="gnn")(nodes, adj, node_mask)
+        return SpectrumHead(self.bins, name="head")(emb, node_mask)
