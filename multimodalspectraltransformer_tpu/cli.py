@@ -1,0 +1,278 @@
+"""Command-line interface — the replacement for the reference's SLURM
+driver scripts (`scripts/script_PC_0_250.py` and siblings) and execution
+dispatcher (`execution_function_v15_4.py`).
+
+Subcommands:
+  simulate   SMILES (csv/txt) -> simulated spectra CSVs (the data factory)
+  train      train the MMT on spectra CSVs (or --synthetic fixtures)
+  evaluate   run the full evaluation harness, print a metrics JSON
+  improve    run the self-improvement fine-tuning cycle
+  bench      run the throughput benchmark (one JSON line)
+
+Examples:
+  python -m multimodalspectraltransformer_tpu.cli simulate --smiles mols.txt --out simdata/
+  python -m multimodalspectraltransformer_tpu.cli train --synthetic 256 --steps 100 --out run1/
+  python -m multimodalspectraltransformer_tpu.cli evaluate --synthetic 32 --params run1/params.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _read_smiles(path: str) -> list[str]:
+    if path.endswith(".csv"):
+        import pandas as pd
+
+        df = pd.read_csv(path)
+        col = "SMILES" if "SMILES" in df.columns else df.columns[0]
+        return [str(s) for s in df[col].tolist()]
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def cmd_simulate(args) -> int:
+    from .sim import factory
+
+    smiles = _read_smiles(args.smiles)
+    records = factory.simulate_records(smiles)
+    paths = factory.export_reference_csvs(records, args.out, run_id=args.run_id)
+    print(json.dumps({"n_molecules": len(records), "paths": paths}))
+    return 0
+
+
+def _model_cfg(args):
+    from .utils.config import ModelConfig
+
+    kw = {}
+    if args.small:
+        kw = dict(num_encoder_layers=2, num_decoder_layers=2, ffn_dim=512)
+    return ModelConfig(**kw)
+
+
+def _load_records(args, mcfg):
+    from .data import pipeline as dp
+
+    if args.synthetic:
+        return dp.synthetic_dataset(args.synthetic, seed=args.seed)
+    return dp.load_spectra_csvs(
+        csv_1h=args.csv_1h, csv_13c=args.csv_13c,
+        csv_hsqc=args.csv_hsqc, csv_cosy=args.csv_cosy,
+        ir_folder=args.ir_folder, limit=args.limit,
+    )
+
+
+def _load_params(args, mcfg):
+    import jax
+
+    from .models import mmt
+    from .train import checkpoint as ckpt
+
+    template = mmt.init_params(mcfg, jax.random.PRNGKey(args.seed))
+    if args.params and os.path.exists(args.params):
+        return ckpt.import_params_msgpack(template, args.params)
+    if args.torch_checkpoint:
+        from .models import convert
+
+        return convert.load_torch_checkpoint(mcfg, args.torch_checkpoint)
+    return template
+
+
+def cmd_train(args) -> int:
+    from .data.pipeline import Loader
+    from .train import checkpoint as ckpt
+    from .train.loop import run_training
+    from .utils.config import DataConfig, MMTConfig, TrainConfig
+
+    mcfg = _model_cfg(args)
+    cfg = MMTConfig(
+        model=mcfg,
+        train=TrainConfig(
+            learning_rate=args.lr, num_epochs=args.epochs,
+            save_interval_steps=args.save_every,
+        ),
+        data=DataConfig(batch_size=args.batch_size),
+    )
+    records = _load_records(args, mcfg)
+    if not records:
+        print(json.dumps({"error": "no records loaded"}))
+        return 1
+    n_val = max(1, int(len(records) * 0.1))
+    n_train = len(records) - n_val
+    bs = max(1, min(args.batch_size, n_train))
+    if bs != args.batch_size:
+        print(f"note: batch size clamped to {bs} ({n_train} training records)", file=sys.stderr)
+    loader = Loader(records[:-n_val], mcfg, batch_size=bs, seed=args.seed)
+    val = Loader(records[-n_val:], mcfg, batch_size=min(bs, n_val), seed=args.seed, drop_remainder=False)
+
+    os.makedirs(args.out, exist_ok=True)
+    init = _load_params(args, mcfg) if (args.params or args.torch_checkpoint) else None
+    result = run_training(
+        cfg, loader, val_loader=val, init_params=init,
+        metrics_path=os.path.join(args.out, "metrics.jsonl"),
+        checkpoint_dir=os.path.join(args.out, "ckpt"),
+        seed=args.seed, max_steps=args.steps,
+        gen_metrics_every=args.gen_metrics_every,
+    )
+    ckpt.export_params_msgpack(result.state.params, os.path.join(args.out, "params.msgpack"))
+    print(json.dumps({
+        "steps": result.steps,
+        "train_loss": result.train_loss,
+        "val_loss": result.val_loss,
+        "params": os.path.join(args.out, "params.msgpack"),
+    }))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    import jax
+
+    from .eval.harness import evaluate_molecules
+    from .utils.config import DecodeConfig
+
+    mcfg = _model_cfg(args)
+    records = _load_records(args, mcfg)
+    params = _load_params(args, mcfg)
+    dcfg = DecodeConfig(
+        max_len=args.max_len, fanout=args.fanout,
+        multinom_runs=args.multinom_runs, max_temp_rounds=args.rounds,
+        mw_filter=not args.no_mw_filter,
+    )
+    results, summary = evaluate_molecules(
+        records, params, mcfg, dcfg, jax.random.PRNGKey(args.seed),
+        simulate_errors=not args.no_sim_errors,
+    )
+    out = dataclasses.asdict(summary)
+    out["top_k_accuracy"] = {str(k): v for k, v in summary.top_k_accuracy.items()}
+    print(json.dumps(out))
+    if args.results_out:
+        import pickle
+
+        with open(args.results_out, "wb") as f:
+            pickle.dump(results, f)
+    return 0
+
+
+def cmd_improve(args) -> int:
+    import jax
+
+    from .sim import factory
+    from .train.improvement_cycle import ImprovementCycleConfig, run_improvement_cycle
+    from .train.molgen import MolGenConfig
+    from .train import checkpoint as ckpt
+    from .utils.config import DataConfig, MMTConfig, TrainConfig
+
+    mcfg = _model_cfg(args)
+    cfg = MMTConfig(
+        model=mcfg,
+        train=TrainConfig(learning_rate=args.lr, num_epochs=1, save_interval_steps=10_000),
+        data=DataConfig(batch_size=args.batch_size),
+    )
+    smiles = _read_smiles(args.smiles)
+    targets = factory.simulate_records(smiles)
+    params = _load_params(args, mcfg)
+    icfg = ImprovementCycleConfig(
+        max_cycles=args.cycles,
+        ic_threshold=args.threshold,
+        molgen=MolGenConfig(generations_per_target=args.generations),
+        steps_per_cycle=args.steps,
+        include_targets_in_training=args.include_targets,
+    )
+    new_params, reports = run_improvement_cycle(cfg, targets, params, icfg)
+    os.makedirs(args.out, exist_ok=True)
+    ckpt.export_params_msgpack(new_params, os.path.join(args.out, "params.msgpack"))
+    print(json.dumps([
+        {"cycle": r.cycle, "n_augmented": r.n_augmented, "train_loss": r.train_loss,
+         "corr_sampling_prob": r.summary.corr_sampling_prob,
+         "greedy_exact": r.summary.greedy_exact}
+        for r in reports
+    ]))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    os.environ.setdefault("BENCH_BATCH", str(args.batch))
+    os.environ.setdefault("BENCH_BEAM", str(args.beam))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mmst", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--small", action="store_true", help="2-layer model for quick runs")
+        sp.add_argument("--params", default="", help="params.msgpack to load")
+        sp.add_argument("--torch-checkpoint", default="", help="reference .pth/.ckpt to convert")
+        sp.add_argument("--synthetic", type=int, default=0, help="use N synthetic molecules")
+        sp.add_argument("--csv-1h", default="")
+        sp.add_argument("--csv-13c", default="")
+        sp.add_argument("--csv-hsqc", default="")
+        sp.add_argument("--csv-cosy", default="")
+        sp.add_argument("--ir-folder", default="")
+        sp.add_argument("--limit", type=int, default=0)
+
+    sp = sub.add_parser("simulate", help="SMILES -> simulated spectra CSVs")
+    sp.add_argument("--smiles", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--run-id", default="0")
+    sp.set_defaults(fn=cmd_simulate)
+
+    sp = sub.add_parser("train", help="train the MMT")
+    add_common(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--epochs", type=int, default=10)
+    sp.add_argument("--steps", type=int, default=0)
+    sp.add_argument("--batch-size", type=int, default=64)
+    sp.add_argument("--save-every", type=int, default=1000)
+    sp.add_argument("--gen-metrics-every", type=int, default=0)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("evaluate", help="run the evaluation harness")
+    add_common(sp)
+    sp.add_argument("--max-len", type=int, default=64)
+    sp.add_argument("--fanout", type=int, default=128)
+    sp.add_argument("--multinom-runs", type=int, default=10)
+    sp.add_argument("--rounds", type=int, default=20)
+    sp.add_argument("--no-mw-filter", action="store_true")
+    sp.add_argument("--no-sim-errors", action="store_true")
+    sp.add_argument("--results-out", default="")
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("improve", help="self-improvement fine-tuning cycle")
+    add_common(sp)
+    sp.add_argument("--smiles", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--lr", type=float, default=5e-5)
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--cycles", type=int, default=5)
+    sp.add_argument("--threshold", type=float, default=0.6)
+    sp.add_argument("--generations", type=int, default=30)
+    sp.add_argument("--steps", type=int, default=0)
+    sp.add_argument("--include-targets", action="store_true")
+    sp.set_defaults(fn=cmd_improve)
+
+    sp = sub.add_parser("bench", help="throughput benchmark")
+    sp.add_argument("--batch", type=int, default=128)
+    sp.add_argument("--beam", type=int, default=5)
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,76 @@
+"""Checkpoint / resume via Orbax: async, sharded, step-indexed.
+
+The reference juggles three overlapping mechanisms — PL ModelCheckpoint,
+manual time-interval torch.save of both .pth and .ckpt, and mtime-glob
+discovery (`MT_functions_v15_4.py:107-112`, `models_MMT_v15_4.py:1190-1210`,
+`execution_function_v15_4.py:166-173`) — with no optimizer-state-respecting
+mid-epoch resume. Here: one Orbax CheckpointManager holding the full
+TrainState (params + optimizer + step), background-thread async saves, and
+restore that reproduces training exactly (tested).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3, save_interval_steps: int = 1):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep,
+            save_interval_steps=save_interval_steps,
+            enable_async_checkpointing=True,
+        )
+        self._mgr = ocp.CheckpointManager(self._dir, options=options)
+
+    def save(self, state: TrainState, metrics: Optional[dict] = None) -> bool:
+        step = int(state.step)
+        return self._mgr.save(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardSave(state)),
+            metrics=metrics,
+        )
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> Optional[TrainState]:
+        """Restore into the structure/shardings of ``template``; None if no
+        checkpoint exists."""
+        target = step if step is not None else self._mgr.latest_step()
+        if target is None:
+            return None
+        restored = self._mgr.restore(
+            target, args=ocp.args.Composite(state=ocp.args.StandardRestore(template))
+        )
+        return restored["state"]
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def export_params_msgpack(params: Any, path: str) -> None:
+    """Flat single-file parameter export (the .pth-like artifact for
+    serving/distribution)."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def import_params_msgpack(template: Any, path: str) -> Any:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())

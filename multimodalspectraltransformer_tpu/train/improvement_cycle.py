@@ -1,0 +1,116 @@
+"""The self-improvement fine-tuning cycle.
+
+Reference: `improvement_cycle_neg_examples_v15_4.py:48-441` and the web
+variant (`MMT_website/Runfolder/app.py:634-793`): per cycle —
+(1) generate augmentation molecules around the targets (MolFormer bridge),
+(2) filter out molecules colliding with the validation set,
+(3) blend with train data,
+(4) simulate spectra for the augmented set (SGNN + IR),
+(5) fine-tune the MMT,
+(6) re-evaluate; stop when the teacher-forced sequence probability
+    (``corr_sampling_prob``) crosses ``IC_threshold``.
+
+Here each stage is a first-party subsystem call (molgen, sim.factory,
+train.loop, eval.harness) passing in-memory records — no CSV/pickle
+shuttling between stages, no config-object mutation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+
+from ..chem import api as chem
+from ..data.pipeline import Loader, SampleRecord
+from ..eval.harness import EvalSummary, evaluate_molecules
+from ..sim import factory as sim_factory
+from ..utils.config import DecodeConfig, MMTConfig
+from .loop import run_training
+from .molgen import MolGenConfig, generate_neighbors
+
+
+@dataclass
+class ImprovementCycleConfig:
+    max_cycles: int = 5
+    ic_threshold: float = 0.6  # corr_sampling_prob target (IC_threshold)
+    molgen: MolGenConfig = field(default_factory=MolGenConfig)
+    train_blend: int = 0  # extra train records blended per cycle
+    steps_per_cycle: int = 0  # 0 = epochs from cfg
+    include_targets_in_training: bool = False  # negative-examples mode if False
+    eval_mns: bool = False  # full MNS eval per cycle (slower)
+    sim_kwargs: dict = field(default_factory=dict)
+
+
+@dataclass
+class CycleReport:
+    cycle: int
+    n_augmented: int
+    train_loss: float
+    summary: EvalSummary
+
+
+def run_improvement_cycle(
+    cfg: MMTConfig,
+    target_records: list[SampleRecord],
+    init_params: Any,
+    icfg: ImprovementCycleConfig = ImprovementCycleConfig(),
+    blend_records: Optional[list[SampleRecord]] = None,
+    val_smiles: Optional[set] = None,
+    rng: Optional[jax.Array] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> tuple[Any, list[CycleReport]]:
+    """Returns (final params, per-cycle reports)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    params = init_params
+    reports: list[CycleReport] = []
+    val_canon = {chem.canonicalize(s) for s in (val_smiles or set())}
+
+    for cycle in range(icfg.max_cycles):
+        # 1) generate augmentation molecules around each target
+        aug_smiles: list[str] = []
+        for rec in target_records:
+            aug_smiles.extend(generate_neighbors(rec.smiles, icfg.molgen))
+        # 2) filter vs validation set (reference mrtf.filter_smiles)
+        aug_smiles = [s for s in aug_smiles if s not in val_canon]
+        if icfg.include_targets_in_training:
+            aug_smiles.extend(r.smiles for r in target_records)
+        # dedup
+        aug_smiles = list(dict.fromkeys(aug_smiles))
+
+        # 3-4) simulate spectra for the augmented set
+        sim_records = sim_factory.simulate_records(
+            aug_smiles, [f"ic{cycle}_{i}" for i in range(len(aug_smiles))], **icfg.sim_kwargs
+        )
+        train_records = list(sim_records)
+        if blend_records and icfg.train_blend:
+            train_records.extend(blend_records[: icfg.train_blend])
+        if not train_records:
+            break
+
+        # 5) fine-tune
+        loader = Loader(
+            train_records, cfg.model,
+            batch_size=min(cfg.data.batch_size, max(1, len(train_records))),
+            seed=cycle, drop_remainder=False,
+        )
+        result = run_training(
+            cfg, loader, init_params=params,
+            checkpoint_dir=checkpoint_dir,
+            max_steps=icfg.steps_per_cycle,
+        )
+        params = result.state.params
+
+        # 6) evaluate on the targets
+        _, summary = evaluate_molecules(
+            target_records, params, cfg.model,
+            DecodeConfig(max_len=cfg.model.spectrum_points, fanout=32, multinom_runs=5, max_temp_rounds=3),
+            jax.random.fold_in(rng, cycle),
+            simulate_errors=False,
+            run_mns=icfg.eval_mns,
+        )
+        reports.append(CycleReport(cycle, len(aug_smiles), result.train_loss, summary))
+        if summary.corr_sampling_prob > icfg.ic_threshold:
+            break
+    return params, reports

@@ -1,0 +1,99 @@
+"""Checkpoint/resume exactness + the training-loop driver."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalspectraltransformer_tpu.data import pipeline as dp
+from multimodalspectraltransformer_tpu.models import mmt
+from multimodalspectraltransformer_tpu.train import checkpoint as ckpt
+from multimodalspectraltransformer_tpu.train import create_state, train_step
+from multimodalspectraltransformer_tpu.train.loop import MetricsLogger, run_training
+from multimodalspectraltransformer_tpu.utils.config import MMTConfig, ModelConfig, TrainConfig
+
+MCFG = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=128)
+CFG = MMTConfig(model=MCFG, train=TrainConfig(learning_rate=1e-3, num_epochs=1, save_interval_steps=1))
+
+
+def _batch(batch=4, seed=0):
+    recs = dp.synthetic_dataset(batch, seed=seed)
+    feats = [dp.featurize(r, MCFG) for r in recs]
+    return dp.collate([f for f in feats if f is not None])
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    model = mmt.MultimodalTransformer(MCFG)
+    b = jax.tree.map(jnp.asarray, _batch())
+    params = mmt.init_params(MCFG, jax.random.PRNGKey(0))
+    state = create_state(CFG.train, params)
+    rng = jax.random.PRNGKey(1)
+
+    mgr = ckpt.CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    for _ in range(3):
+        state, _ = train_step(model, CFG, state, b, rng)
+    mgr.save(state)
+    mgr.wait()
+
+    # continue 2 more steps from live state
+    cont = state
+    for _ in range(2):
+        cont, m_live = train_step(model, CFG, cont, b, rng)
+
+    # restore and continue 2 steps -> must match exactly
+    template = create_state(CFG.train, mmt.init_params(MCFG, jax.random.PRNGKey(0)))
+    restored = mgr.restore(template)
+    assert restored is not None and int(restored.step) == 3
+    for _ in range(2):
+        restored, m_rest = train_step(model, CFG, restored, b, rng)
+
+    assert float(m_live.loss) == float(m_rest.loss)
+    for a, c in zip(jax.tree.leaves(cont.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    mgr.close()
+
+
+def test_params_msgpack_round_trip(tmp_path):
+    params = mmt.init_params(MCFG, jax.random.PRNGKey(0))
+    path = str(tmp_path / "params.msgpack")
+    ckpt.export_params_msgpack(params, path)
+    loaded = ckpt.import_params_msgpack(params, path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_training_smoke(tmp_path):
+    recs = dp.synthetic_dataset(16, seed=3)
+    loader = dp.Loader(recs, MCFG, batch_size=8, seed=0)
+    val_loader = dp.Loader(recs[:8], MCFG, batch_size=8, seed=0)
+    cfg = MMTConfig(model=MCFG, train=TrainConfig(learning_rate=1e-3, num_epochs=5, save_interval_steps=1))
+    result = run_training(
+        cfg,
+        loader,
+        val_loader=val_loader,
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_steps=3,
+    )
+    assert result.steps == 3
+    assert np.isfinite(result.train_loss)
+    assert np.isfinite(result.val_loss)
+    # metrics JSONL written
+    lines = open(tmp_path / "metrics.jsonl").read().strip().splitlines()
+    assert len(lines) >= 3
+    import json
+
+    rec = json.loads(lines[0])
+    assert {"step", "train_loss", "SMI_loss", "token_accuracy"} <= set(rec)
+    # resume picks up the checkpoint
+    result2 = run_training(
+        cfg, loader, checkpoint_dir=str(tmp_path / "ckpt"), max_steps=4
+    )
+    assert result2.steps == 4  # resumed from 3, ran 1 more
+
+
+def test_metrics_logger_history():
+    log = MetricsLogger(None)
+    log.log({"step": 1, "x": jnp.asarray(2.5)})
+    assert log.history[0]["x"] == 2.5

@@ -1,0 +1,119 @@
+"""Evaluation harness tests on a small trained-ish model (CPU).
+
+Trains a tiny MMT briefly on synthetic data so decoding produces some valid
+SMILES, then runs the full harness: greedy metrics, MNS candidate
+generation with filters, spectral-error ranking, top-k accuracy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalspectraltransformer_tpu.data import pipeline as dp
+from multimodalspectraltransformer_tpu.eval import generation, harness
+from multimodalspectraltransformer_tpu.models import mmt
+from multimodalspectraltransformer_tpu.train import create_state, train_step
+from multimodalspectraltransformer_tpu.utils.config import DecodeConfig, MMTConfig, ModelConfig, TrainConfig
+
+MCFG = ModelConfig(num_encoder_layers=1, num_decoder_layers=2, ffn_dim=256)
+CFG = MMTConfig(model=MCFG, train=TrainConfig(learning_rate=1e-3))
+
+_STATE = {}
+
+
+def _trained_params():
+    if "params" in _STATE:
+        return _STATE["params"], _STATE["recs"]
+    recs = dp.synthetic_dataset(32, seed=5)
+    loader = dp.Loader(recs, MCFG, batch_size=16, seed=1)
+    batches = [jax.tree.map(jnp.asarray, b) for b in loader.epoch(0)]
+    model = mmt.MultimodalTransformer(MCFG)
+    params = mmt.init_params(MCFG, jax.random.PRNGKey(0))
+    state = create_state(CFG.train, params)
+    rng = jax.random.PRNGKey(9)
+    for step in range(40):
+        state, metrics = train_step(model, CFG, state, batches[step % len(batches)], rng)
+    _STATE["params"] = state.params
+    _STATE["recs"] = recs
+    return state.params, recs
+
+
+def test_generate_candidates_filters():
+    params, recs = _trained_params()
+    model = mmt.MultimodalTransformer(MCFG)
+    f = dp.featurize(recs[0], MCFG)
+    tb = dp.collate([f])
+    enc = harness._encode_batch(model, params, jax.tree.map(jnp.asarray, tb.inputs))
+    dcfg = DecodeConfig(max_len=48, fanout=16, multinom_runs=4, max_temp_rounds=3, mw_filter=False)
+    cand = generation.generate_candidates(
+        params, MCFG, enc.memory[:1], enc.memory_key_padding_mask[:1], jax.random.PRNGKey(0), dcfg
+    )
+    # all returned candidates are valid canonical SMILES, deduped
+    from multimodalspectraltransformer_tpu.chem import api as chem
+
+    assert len(set(cand.smiles)) == len(cand.smiles)
+    for s in cand.smiles:
+        assert chem.is_valid(s)
+        assert chem.canonicalize(s) == s
+    assert 1 <= cand.rounds_used <= 3
+    assert all(0 <= p <= 1 for p in cand.seq_probs)
+
+
+def test_mw_filter_rejects_wrong_mass():
+    params, recs = _trained_params()
+    model = mmt.MultimodalTransformer(MCFG)
+    f = dp.featurize(recs[0], MCFG)
+    tb = dp.collate([f])
+    enc = harness._encode_batch(model, params, jax.tree.map(jnp.asarray, tb.inputs))
+    dcfg = DecodeConfig(max_len=48, fanout=16, multinom_runs=8, max_temp_rounds=2, mw_filter=True, mw_delta=0.5)
+    cand = generation.generate_candidates(
+        params, MCFG, enc.memory[:1], enc.memory_key_padding_mask[:1], jax.random.PRNGKey(0), dcfg,
+        target_mw=float(f["mw"]),
+    )
+    from multimodalspectraltransformer_tpu.chem import api as chem
+
+    for s in cand.smiles:
+        assert abs(round(chem.mol_wt(s)) - round(float(f["mw"]))) <= 0.5
+
+
+def test_full_harness_summary():
+    params, recs = _trained_params()
+    dcfg = DecodeConfig(max_len=48, fanout=16, multinom_runs=3, max_temp_rounds=2, mw_filter=False)
+    results, summary = harness.evaluate_molecules(
+        recs[:6], params, MCFG, dcfg, jax.random.PRNGKey(1), simulate_errors=True
+    )
+    assert summary.n == len(results) > 0
+    assert 0.0 <= summary.greedy_validity <= 1.0
+    assert 0.0 <= summary.mns_exact <= 1.0
+    assert 0.0 <= summary.corr_sampling_prob <= 1.0
+    assert summary.mols_per_sec > 0
+    assert set(summary.top_k_accuracy) == {1, 3, 5, 10, 20}
+    # per-candidate fields populated
+    for r in results:
+        for c in r.candidates:
+            assert c.smiles
+        # candidates sorted by tanimoto descending
+        tanis = [c.tanimoto for c in r.candidates]
+        assert tanis == sorted(tanis, reverse=True)
+
+
+def test_rank_candidates_by_error_ordering():
+    res = harness.MoleculeResult(target="CCO")
+    for smi, h, c in [("CCO", 0.1, 0.1), ("CCN", 0.5, 0.5), ("CCC", 0.02, 0.9)]:
+        cr = harness.CandidateResult(smiles=smi, hsqc_error=h, cosy_error=c)
+        cr.exact = smi == "CCO"
+        res.candidates.append(cr)
+    ranked = harness.rank_candidates_by_error(res, mf_filter=False)
+    # CCO: ranks (1,0) avg 0.5 ; CCC: (0,2) avg 1.0 ; CCN: (2,1) avg 1.5
+    assert [c.smiles for c in ranked] == ["CCO", "CCC", "CCN"]
+    acc = harness.top_k_accuracy([res], ks=(1, 3), mf_filter=False)
+    assert acc[1] == 1.0
+
+
+def test_mf_filter_in_ranking():
+    res = harness.MoleculeResult(target="CCO")
+    for smi, h in [("CCO", 0.3), ("OCC", 0.3), ("CCCCC", 0.0)]:  # last: wrong MF
+        res.candidates.append(harness.CandidateResult(smiles=smi, hsqc_error=h, cosy_error=h))
+    ranked = harness.rank_candidates_by_error(res, mf_filter=True)
+    assert all("CCCCC" != c.smiles for c in ranked)

@@ -1,0 +1,83 @@
+"""Molecular neighbor generation + improvement cycle tests."""
+
+import jax
+import numpy as np
+
+from multimodalspectraltransformer_tpu.chem import api as chem
+from multimodalspectraltransformer_tpu.chem import descriptors
+from multimodalspectraltransformer_tpu.models import mmt
+from multimodalspectraltransformer_tpu.sim import factory
+from multimodalspectraltransformer_tpu.train import molgen
+from multimodalspectraltransformer_tpu.train.improvement_cycle import (
+    ImprovementCycleConfig,
+    run_improvement_cycle,
+)
+from multimodalspectraltransformer_tpu.utils.config import DataConfig, MMTConfig, ModelConfig, TrainConfig
+
+
+def test_descriptors():
+    from multimodalspectraltransformer_tpu.chem.smiles import parse_smiles
+
+    m = parse_smiles("CC(=O)Nc1ccccc1")  # acetanilide: 1 NH donor, N+O acceptors
+    assert descriptors.h_bond_donors(m) == 1
+    assert descriptors.h_bond_acceptors(m) == 2
+    assert descriptors.lipinski_ok("CCO")
+    assert not descriptors.lipinski_ok("C" * 45)  # MW > 500
+
+
+def test_murcko_scaffold():
+    assert descriptors.murcko_scaffold("CCCC") == ""
+    s1 = descriptors.murcko_scaffold("Cc1ccccc1")
+    s2 = descriptors.murcko_scaffold("CCc1ccccc1")
+    assert s1 == s2 == chem.canonicalize("c1ccccc1")
+    # biphenyl-like linker is retained
+    s3 = descriptors.murcko_scaffold("c1ccccc1Cc1ccccc1")
+    assert s3 is not None and s3.count("1") + s3.count("2") >= 4
+
+
+def test_generate_neighbors_filters():
+    cfg = molgen.MolGenConfig(generations_per_target=10, max_trials=300, seed=1)
+    target = "CC(C)Cc1ccc(C(C)C(=O)O)cc1"
+    out = molgen.generate_neighbors(target, cfg)
+    assert len(out) > 0
+    target_mw = chem.mol_wt(target)
+    for s in out:
+        assert chem.is_valid(s)
+        assert chem.canonicalize(s) == s
+        assert s != chem.canonicalize(target)
+        assert chem.mol_wt(s) <= target_mw + cfg.mw_delta + 1e-6
+        assert (chem.tanimoto(s, target) or 0) >= cfg.tanimoto_min
+    assert len(set(out)) == len(out)
+
+
+def test_generate_neighbors_deterministic():
+    cfg = molgen.MolGenConfig(generations_per_target=5, max_trials=100, seed=7)
+    a = molgen.generate_neighbors("CCO", cfg)
+    b = molgen.generate_neighbors("CCO", cfg)
+    assert a == b
+
+
+def test_improvement_cycle_smoke():
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=128)
+    cfg = MMTConfig(
+        model=mcfg,
+        train=TrainConfig(learning_rate=1e-3, num_epochs=1, save_interval_steps=10_000),
+        data=DataConfig(batch_size=8),
+    )
+    targets = factory.simulate_records(["CCO", "CCN", "CCC(=O)O"], ["t0", "t1", "t2"])
+    params = mmt.init_params(mcfg, jax.random.PRNGKey(0))
+    icfg = ImprovementCycleConfig(
+        max_cycles=2,
+        ic_threshold=2.0,  # unreachable -> runs all cycles
+        molgen=molgen.MolGenConfig(generations_per_target=4, max_trials=60),
+        steps_per_cycle=2,
+        include_targets_in_training=True,
+    )
+    new_params, reports = run_improvement_cycle(cfg, targets, params, icfg)
+    assert len(reports) == 2
+    assert all(r.n_augmented > 0 for r in reports)
+    assert all(np.isfinite(r.train_loss) for r in reports)
+    # params actually changed
+    a = jax.tree.leaves(params)[0]
+    b = jax.tree.leaves(new_params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
