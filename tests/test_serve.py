@@ -1,0 +1,161 @@
+"""Serving layer: exercise every route of the WSGI app end-to-end against a
+live threaded server with a tiny model config (reference route parity:
+`MMT_website/Runfolder/app.py` — upload/simulate/plot/test_model/run_IC/
+colored_molecule/dual plots/console streaming)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.request
+from socketserver import ThreadingMixIn
+from wsgiref.simple_server import WSGIServer, make_server
+
+import pytest
+
+from multimodalspectraltransformer_tpu.serve import ServerState, make_app
+from multimodalspectraltransformer_tpu.utils.config import ModelConfig
+
+TINY = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+
+
+class _QuietServer(ThreadingMixIn, WSGIServer):
+    daemon_threads = True
+
+    def handle_error(self, request, client_address):  # silence broken pipes
+        pass
+
+
+@pytest.fixture(scope="module")
+def server():
+    state = ServerState(model_cfg=TINY)
+    app = make_app(state)
+    httpd = make_server("127.0.0.1", 0, app, server_class=_QuietServer)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", state
+    httpd.shutdown()
+    state.jobs.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        ctype = r.headers.get("Content-Type", "")
+        body = r.read()
+    return ctype, body
+
+
+def _post(url: str, payload: dict):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _wait_job(base: str, job_id: str, timeout: float = 300.0) -> dict:
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        ctype, body = _get(f"{base}/api/jobs/{job_id}?result=1&log=1")
+        d = json.loads(body)
+        if d["status"] in ("done", "failed", "cancelled"):
+            return d
+        time.sleep(0.2)
+    raise TimeoutError(job_id)
+
+
+def test_health_and_index(server):
+    base, _ = server
+    ctype, body = _get(base + "/api/health")
+    assert json.loads(body)["ok"]
+    ctype, body = _get(base + "/")
+    assert b"TPU serving console" in body
+
+
+def test_upload_and_records(server):
+    base, _ = server
+    out = _post(base + "/api/upload", {
+        "records": [{
+            "sample_id": "u1", "smiles": "CCO",
+            "h1": [[1.2, 3.0], [3.7, 2.0]], "c13": [18.0, 58.0],
+            "hsqc": [[1.2, 18.0], [3.7, 58.0]],
+        }]
+    })
+    assert out["n_uploaded"] == 1
+    _, body = _get(base + "/api/records?source=uploaded")
+    recs = json.loads(body)
+    assert any(r["sample_id"] == "u1" for r in recs)
+    # CSV upload path (reference /upload with per-modality CSVs)
+    csv_1h = 'sample-id,SMILES,shifts\nc9,CC(=O)C,"[(2.1, 6.0)]"\n'
+    out = _post(base + "/api/upload", {"csv_1h": csv_1h})
+    assert out["n_uploaded"] == 1
+
+
+def test_simulate_job_and_plots(server):
+    base, _ = server
+    job = _post(base + "/api/simulate", {"smiles": ["CC(=O)Nc1ccc(O)cc1", "CCO"], "sample_ids": ["s0", "s1"]})
+    d = _wait_job(base, job["job_id"])
+    assert d["status"] == "done", d
+    assert d["result"]["n_simulated"] == 2
+    # plots for each modality
+    for modality in ("1H", "13C", "HSQC", "COSY"):
+        ctype, body = _get(f"{base}/api/plot?source=sim&sample_id=s0&modality={modality}")
+        assert "svg" in ctype and body.startswith(b"<svg"), modality
+    # console log was streamed
+    assert any("simulating" in ln for ln in d["log"])
+
+
+def test_dual_plot_overlay(server):
+    base, _ = server
+    # upload an "experimental" record with the same sample id as a simulated one
+    _post(base + "/api/upload", {
+        "records": [{"sample_id": "s0", "smiles": "CC(=O)Nc1ccc(O)cc1", "hsqc": [[2.0, 25.0], [7.2, 120.0]]}]
+    })
+    ctype, body = _get(base + "/api/plot?source=sim&sample_id=s0&modality=HSQC&dual=1")
+    assert body.startswith(b"<svg") and b"overlay" in body
+
+
+def test_molecule_and_grid_svg(server):
+    base, _ = server
+    ctype, body = _get(base + "/api/molecule.svg?smiles=CC(%3DO)Nc1ccc(O)cc1&values=0.1,0.9,0.5")
+    assert body.startswith(b"<svg") and b"circle" in body
+    ctype, body = _get(base + "/api/grid.svg?smiles=CCO,c1ccccc1")
+    assert body.startswith(b"<svg")
+    # invalid SMILES -> 400
+    try:
+        _get(base + "/api/molecule.svg?smiles=bogus((")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_evaluate_job(server):
+    base, _ = server
+    job = _post(base + "/api/evaluate", {"source": "sim", "run_mns": False})
+    d = _wait_job(base, job["job_id"])
+    assert d["status"] == "done", d.get("error", "")
+    assert "summary" in d["result"] and len(d["result"]["molecules"]) >= 1
+    for m in d["result"]["molecules"]:
+        assert "greedy" in m and "corr_sampling_prob" in m
+
+
+def test_sse_stream(server):
+    base, _ = server
+    job = _post(base + "/api/simulate", {"smiles": ["c1ccccc1O"], "sample_ids": ["sse1"]})
+    ctype, body = _get(f"{base}/api/jobs/{job['job_id']}/stream")
+    assert "text/event-stream" in ctype
+    text = body.decode()
+    assert "data:" in text and "[done]" in text
+
+
+def test_job_listing_and_missing(server):
+    base, _ = server
+    _, body = _get(base + "/api/jobs")
+    assert isinstance(json.loads(body), list)
+    try:
+        _get(base + "/api/jobs/nonexistent")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
