@@ -281,13 +281,22 @@ class Loader:
     host_id: int = 0
     host_count: int = 1
     drop_remainder: bool = True
+    # batch ordering: "shuffle" | "weight_sorted" | "tanimoto" (hard-negative
+    # batches for contrastive training; data/samplers.py, reference
+    # `clip_functions_v15_4.py:117-187`)
+    order_strategy: str = "shuffle"
 
     def __len__(self) -> int:
         per_host = len(self.records) // self.host_count
         return per_host // self.batch_size
 
     def epoch(self, epoch: int) -> Iterator[TrainBatch]:
-        order = np.random.default_rng((self.seed, epoch)).permutation(len(self.records))
+        from . import samplers
+
+        order = samplers.epoch_order(
+            self.order_strategy, [r.smiles for r in self.records],
+            self.batch_size, self.seed, epoch,
+        )
         order = order[self.host_id :: self.host_count]
         rng = random.Random(self.seed * 1_000_003 + epoch * 1009 + self.host_id)
         buf: list[dict] = []
