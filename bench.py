@@ -62,6 +62,7 @@ def main() -> None:
         return samplers.beam_search(
             params, cfg, enc.memory, enc.memory_key_padding_mask, BEAM, 1.0, MAX_LEN,
             early_exit=False,  # honest worst-case: full-length decode
+            compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         )
 
     import numpy as np
@@ -84,9 +85,9 @@ def main() -> None:
             {
                 "metric": (
                     f"mols/sec/chip four-modality encode + beam{BEAM} "
-                    f"KV-cached SMILES decode (len {MAX_LEN}, batch {BATCH}, "
-                    "untrained weights, no early exit; baseline = reference "
-                    "V100 end-to-end 83 s/mol)"
+                    f"KV-cached bf16 SMILES decode (len {MAX_LEN}, batch {BATCH}, "
+                    "shared cross-KV across beam lanes, untrained weights, no "
+                    "early exit; baseline = reference V100 end-to-end 83 s/mol)"
                 ),
                 "value": round(mols_per_sec, 3),
                 "unit": "mols/sec/chip",

@@ -112,8 +112,16 @@ def decoder_step(
     pos: Array,  # scalar int32 position of `tokens`
     cross: CrossKV,
     blend: Array | None = None,  # [B, vocab] real-data blend (use_real_data path)
+    group_size: int = 1,
 ) -> tuple[Array, DecodeState]:
-    """One incremental decoder step. Returns (logits [B, vocab], new state)."""
+    """One incremental decoder step. Returns (logits [B, vocab], new state).
+
+    ``group_size=G > 1`` means the batch holds G decode lanes per encoder
+    sample (beam width / multinomial fan-out) while ``cross`` was built from
+    the UN-duplicated memory: cross K/V are read once per sample instead of
+    once per lane, cutting the dominant HBM stream of fan-out decoding by G
+    (the reference instead duplicates the memory tensors G ways,
+    `run_batch_gen_val_MMT_v15_4.py:93-107`)."""
     D = cfg.hidden_size
     H = cfg.num_heads
     Dh = D // H
@@ -123,6 +131,8 @@ def decoder_step(
     # (dropout_trg is identity at inference)
     x = x[:, None, :]  # [B, 1, D]
     B = x.shape[0]
+    G = group_size
+    Bs = B // G  # encoder samples
 
     # positions 0..pos are valid self-attention keys
     pos_mask = (jnp.arange(cfg.max_len) <= pos)[None, None, None, :]  # [1,1,1,T]
@@ -144,20 +154,28 @@ def decoder_step(
         new_k.append(k_i)
         new_v.append(v_i)
         scores = jnp.einsum("bhqd,bhdk->bhqk", q, k_i) + self_bias
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         sa = jnp.einsum("bhqk,bhdk->bhqd", attn, v_i)
         sa = sa.transpose(0, 2, 1, 3).reshape(B, 1, D)
         sa = sa @ sp["out_proj_weight"].T + sp["out_proj_bias"]
         x = _ln(x + sa, lp["norm1"], eps)
 
-        # ---- cross-attention over precomputed memory K/V ----
+        # ---- cross-attention over precomputed (per-sample) memory K/V ----
         cp = lp["multihead_attn"]
         q2 = x @ cp["in_proj_weight"][:D].T + cp["in_proj_bias"][:D]
-        q2 = q2.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3) * scale
-        scores2 = jnp.einsum("bhqd,bhdk->bhqk", q2, cross.k[i]) + cross.mask_bias
-        attn2 = jax.nn.softmax(scores2, axis=-1)
-        ca = jnp.einsum("bhqk,bhdk->bhqd", attn2, cross.v[i])
-        ca = ca.transpose(0, 2, 1, 3).reshape(B, 1, D)
+        if G == 1:
+            q2 = q2.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3) * scale
+            scores2 = jnp.einsum("bhqd,bhdk->bhqk", q2, cross.k[i]) + cross.mask_bias
+            attn2 = jax.nn.softmax(scores2.astype(jnp.float32), axis=-1).astype(x.dtype)
+            ca = jnp.einsum("bhqk,bhdk->bhqd", attn2, cross.v[i])
+            ca = ca.transpose(0, 2, 1, 3).reshape(B, 1, D)
+        else:
+            # lanes of the same sample share K/V: treat G as a query dim
+            q2 = q2.reshape(Bs, G, H, Dh).transpose(0, 2, 1, 3) * scale  # [Bs,H,G,Dh]
+            scores2 = jnp.einsum("bhgd,bhdk->bhgk", q2, cross.k[i]) + cross.mask_bias
+            attn2 = jax.nn.softmax(scores2.astype(jnp.float32), axis=-1).astype(x.dtype)
+            ca = jnp.einsum("bhgk,bhdk->bhgd", attn2, cross.v[i])  # [Bs,H,G,Dh]
+            ca = ca.transpose(0, 2, 1, 3).reshape(B, 1, D)
         ca = ca @ cp["out_proj_weight"].T + cp["out_proj_bias"]
         x = _ln(x + ca, lp["norm2"], eps)
 

@@ -45,6 +45,14 @@ class DecodeResult(NamedTuple):
     lengths: Array  # [B] #tokens before (incl.) the finishing token
 
 
+def _cast_decode_params(params: Params, dtype) -> Params:
+    """Cast the decoder-side parameter subtree for reduced-precision decode
+    (bfloat16 halves the dominant HBM streams; selection math stays fp32)."""
+    keys = ("decoder", "embed_trg", "pe_trg", "fc_out", "real_data_linear")
+    cast = {k: jax.tree.map(lambda x: x.astype(dtype), params[k]) for k in keys if k in params}
+    return {**params, **cast}
+
+
 def _loop_decode(
     params: Params,
     cfg: ModelConfig,
@@ -54,6 +62,7 @@ def _loop_decode(
     max_len: int,
     dtype=jnp.float32,
     early_exit: bool = True,
+    group_size: int = 1,
 ) -> DecodeResult:
     """Shared while-loop skeleton for greedy/multinomial."""
 
@@ -71,7 +80,7 @@ def _loop_decode(
         cache=init_cache(cfg, batch, dtype),
         last=jnp.full((batch,), vocab.SOS_ID, jnp.int32),
         out=jnp.zeros((batch, max_len), jnp.int32),
-        probs=jnp.zeros((batch, max_len), dtype),
+        probs=jnp.zeros((batch, max_len), jnp.float32),
         finished=jnp.zeros((batch,), bool),
         all_done=jnp.asarray(False),
     )
@@ -80,12 +89,13 @@ def _loop_decode(
         return (s.t < max_len) & ~s.all_done
 
     def body(s: S):
-        logits, cache = decoder_step(params, cfg, s.cache, s.last, s.t, cross)
-        nxt, prob = select_fn(logits, s.t)
+        logits, cache = decoder_step(params, cfg, s.cache, s.last, s.t, cross,
+                                     group_size=group_size)
+        nxt, prob = select_fn(logits.astype(jnp.float32), s.t)
         nxt = jnp.where(s.finished, vocab.PAD_ID, nxt).astype(jnp.int32)
         prob = jnp.where(s.finished, 0.0, prob)
         out = s.out.at[:, s.t].set(nxt)
-        probs = s.probs.at[:, s.t].set(prob)
+        probs = s.probs.at[:, s.t].set(prob.astype(s.probs.dtype))
         finished = s.finished | (nxt == vocab.EOS_ID) | (nxt == vocab.PAD_ID)
         all_done = jnp.all(finished) if early_exit else jnp.asarray(False)
         return S(s.t + 1, cache, nxt, out, probs, finished, all_done)
@@ -98,7 +108,7 @@ def _loop_decode(
     return DecodeResult(final.out, final.probs, lengths)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len", "early_exit"))
+@partial(jax.jit, static_argnames=("cfg", "max_len", "early_exit", "compute_dtype"))
 def greedy_decode(
     params: Params,
     cfg: ModelConfig,
@@ -107,7 +117,11 @@ def greedy_decode(
     temperature: float = 1.0,
     max_len: int = 128,
     early_exit: bool = True,
+    compute_dtype: Optional[str] = None,  # e.g. "bfloat16"; None = memory dtype
 ) -> DecodeResult:
+    if compute_dtype is not None:
+        params = _cast_decode_params(params, compute_dtype)
+        memory = memory.astype(compute_dtype)
     cross = precompute_cross_kv(params, cfg, memory, memory_kpm)
 
     def select(logits, t):
@@ -118,7 +132,7 @@ def greedy_decode(
     return _loop_decode(params, cfg, cross, memory.shape[0], select, max_len, memory.dtype, early_exit)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len", "fanout", "early_exit"))
+@partial(jax.jit, static_argnames=("cfg", "max_len", "fanout", "early_exit", "compute_dtype"))
 def multinomial_decode(
     params: Params,
     cfg: ModelConfig,
@@ -129,16 +143,18 @@ def multinomial_decode(
     max_len: int = 128,
     fanout: int = 1,
     early_exit: bool = True,
+    compute_dtype: Optional[str] = None,
 ) -> DecodeResult:
-    """Temperature sampling. With ``fanout=N`` the memory is broadcast N ways
-    (the reference's ``duplicate_dict`` 128-way fan-out) and B*N candidate
-    sequences are sampled in one compiled loop."""
-    if fanout > 1:
-        B, S, D = memory.shape
-        memory = jnp.repeat(memory, fanout, axis=0)
-        memory_kpm = jnp.repeat(memory_kpm, fanout, axis=0)
+    """Temperature sampling. With ``fanout=N``, B*N candidate sequences are
+    sampled in one compiled loop (the reference's ``duplicate_dict`` 128-way
+    fan-out). The fan-out lanes SHARE the per-sample cross-attention K/V —
+    memory is never duplicated, so the dominant HBM stream stays O(B), not
+    O(B*N)."""
+    if compute_dtype is not None:
+        params = _cast_decode_params(params, compute_dtype)
+        memory = memory.astype(compute_dtype)
     cross = precompute_cross_kv(params, cfg, memory, memory_kpm)
-    batch = memory.shape[0]
+    batch = memory.shape[0] * fanout
 
     def select(logits, t):
         step_rng = jax.random.fold_in(rng, t)
@@ -147,7 +163,8 @@ def multinomial_decode(
         probs = jax.nn.softmax(scaled, axis=-1)
         return nxt, jnp.take_along_axis(probs, nxt[:, None], axis=-1)[:, 0]
 
-    return _loop_decode(params, cfg, cross, batch, select, max_len, memory.dtype, early_exit)
+    return _loop_decode(params, cfg, cross, batch, select, max_len, memory.dtype,
+                        early_exit, group_size=fanout)
 
 
 class BeamResult(NamedTuple):
@@ -157,7 +174,7 @@ class BeamResult(NamedTuple):
     lengths: Array  # [B, K]
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len", "beam_size", "early_exit"))
+@partial(jax.jit, static_argnames=("cfg", "max_len", "beam_size", "early_exit", "compute_dtype"))
 def beam_search(
     params: Params,
     cfg: ModelConfig,
@@ -167,8 +184,10 @@ def beam_search(
     temperature: float = 1.0,
     max_len: int = 128,
     early_exit: bool = True,
+    compute_dtype: Optional[str] = None,
 ) -> BeamResult:
-    """Batched beam search in a single compiled loop.
+    """Batched beam search in a single compiled loop. Beam lanes share the
+    per-sample cross-attention K/V (no K-way memory duplication).
 
     Differences from the reference's host-side beam
     (`validate_generate_MMT_v15_4.py:995-1094`), by design:
@@ -177,14 +196,15 @@ def beam_search(
     - finished beams are frozen with a single <PAD> continuation instead of
       the reference's seen-set dedup (which can return duplicate prefixes).
     """
+    if compute_dtype is not None:
+        params = _cast_decode_params(params, compute_dtype)
+        memory = memory.astype(compute_dtype)
     B, S, D = memory.shape
     K = beam_size
     V = cfg.smiles_vocab_size
-    NEG = jnp.asarray(-1e30, memory.dtype)
+    NEG = jnp.asarray(-1e30, jnp.float32)
 
-    mem = jnp.repeat(memory, K, axis=0)  # [B*K, S, D]
-    kpm = jnp.repeat(memory_kpm, K, axis=0)
-    cross = precompute_cross_kv(params, cfg, mem, kpm)
+    cross = precompute_cross_kv(params, cfg, memory, memory_kpm)
 
     class S(NamedTuple):
         t: Array
@@ -195,7 +215,7 @@ def beam_search(
         finished: Array  # [B, K]
         all_done: Array
 
-    scores0 = jnp.full((B, K), NEG, memory.dtype).at[:, 0].set(0.0)
+    scores0 = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)
     init = S(
         t=jnp.asarray(0, jnp.int32),
         cache=init_cache(cfg, B * K, memory.dtype),
@@ -210,7 +230,9 @@ def beam_search(
         return (s.t < max_len) & ~s.all_done
 
     def body(s: S):
-        logits, cache = decoder_step(params, cfg, s.cache, s.last, s.t, cross)
+        logits, cache = decoder_step(params, cfg, s.cache, s.last, s.t, cross,
+                                     group_size=K)
+        logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits / temperature, axis=-1).reshape(B, K, V)
         # finished beams: only a <PAD> continuation, at zero cost
         pad_only = jnp.full((V,), NEG, logp.dtype).at[vocab.PAD_ID].set(0.0)

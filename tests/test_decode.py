@@ -150,3 +150,48 @@ def test_beam_scores_sorted_and_distinct():
     for i in range(2):
         greedy_logp = np.sum(np.log(np.maximum(gp[i, : glen[i]], 1e-30)))
         assert s[i, 0] >= greedy_logp - 1e-4
+
+
+def test_grouped_cross_attention_matches_repeated():
+    """decoder_step with group_size=G over un-duplicated cross K/V must
+    equal G=1 over G-way-repeated memory (the memory-bandwidth optimization
+    must be mathematically transparent)."""
+    from multimodalspectraltransformer_tpu.decode import functional as F
+
+    _model, variables, enc = _setup(batch=2)
+    params = variables["params"]
+    G = 3
+    B = enc.memory.shape[0]
+    mem_rep = jnp.repeat(enc.memory, G, axis=0)
+    kpm_rep = jnp.repeat(enc.memory_key_padding_mask, G, axis=0)
+    cross_rep = F.precompute_cross_kv(params, CFG, mem_rep, kpm_rep)
+    cross_grp = F.precompute_cross_kv(params, CFG, enc.memory, enc.memory_key_padding_mask)
+
+    tokens = jnp.asarray(np.tile([vocab.SOS_ID, 5, 7], B), jnp.int32)  # [B*G]
+    pos = jnp.asarray(0, jnp.int32)
+    cache = F.init_cache(CFG, B * G)
+
+    step_rep = jax.jit(lambda c: F.decoder_step(params, CFG, c, tokens, pos, cross_rep))
+    step_grp = jax.jit(lambda c: F.decoder_step(params, CFG, c, tokens, pos, cross_grp, group_size=G))
+    logits_rep, cache_rep = step_rep(cache)
+    logits_grp, cache_grp = step_grp(cache)
+    np.testing.assert_allclose(np.asarray(logits_rep), np.asarray(logits_grp), rtol=1e-5, atol=1e-5)
+    for a, b in zip(cache_rep.k_cache, cache_grp.k_cache):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_bfloat16_decode_paths():
+    """bf16 compute: valid shapes, finite scores, and (on this tiny model)
+    greedy tokens that match fp32."""
+    _model, variables, enc = _setup(batch=3)
+    params = variables["params"]
+    g32 = samplers.greedy_decode(params, CFG, enc.memory, enc.memory_key_padding_mask, 1.0, 16)
+    g16 = samplers.greedy_decode(params, CFG, enc.memory, enc.memory_key_padding_mask, 1.0, 16,
+                                 compute_dtype="bfloat16")
+    assert g16.tokens.shape == g32.tokens.shape
+    assert np.isfinite(np.asarray(g16.token_probs)).all()
+    b16 = samplers.beam_search(params, CFG, enc.memory, enc.memory_key_padding_mask, 4, 1.0, 16,
+                               compute_dtype="bfloat16")
+    assert b16.tokens.shape == (3, 4, 16)
+    assert np.asarray(b16.scores).dtype == np.float32
+    assert np.isfinite(np.asarray(b16.scores)).all()
