@@ -301,6 +301,12 @@ def batched_assignment_error(
     qj = jnp.asarray(q)
     cj = jnp.asarray(cands)
     cost = jnp.linalg.norm(qj[None, :, None, :] - cj[:, None, :, :], axis=-1)
-    total = auction_assignment_cost(cost)
+    if jax.devices()[0].platform == "tpu":
+        # eps-scaled Pallas auction: exact-within-float, whole solve in VMEM
+        from ..ops.auction import auction_assignment_cost_pallas
+
+        total = auction_assignment_cost_pallas(cost, interpret=False)
+    else:
+        total = auction_assignment_cost(cost)
     denom = np.maximum(np.maximum(query_count, cand_counts), 1)
     return np.asarray(total) / denom
