@@ -1,0 +1,192 @@
+"""Contrastive (CLIP / BLIP) training loops.
+
+Reference: ``run_CLIP`` (`clip_functions_v15_4.py:331`, PL Trainer at
+`:311-324`) and ``run_BLIP`` (`blip_functions_v15_4.py:375`) — train the
+spectrum<->SMILES alignment towers against a frozen MMT encoder, using
+MW-sorted batches as hard negatives (`WeightSortedBatchSampler:117-152`)
+and saving a backup checkpoint if training dies
+(`clip_functions_v15_4.py:311-329`).
+
+TPU layout: the frozen MMT encode and the contrastive step are two jitted
+executables; the tower's optimizer state lives in a plain optax TrainState.
+The same loop trains CLIP (fingerprint tower) and BLIP (Q-Former over
+memory) — the model adapter closes over which spectrum representation is
+consumed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..chem import tokenizer as chem_tokenizer
+from ..data.pipeline import Loader
+from ..models import mmt
+from ..rank import clip as clip_mod
+from ..rank import qformer as qformer_mod
+from ..utils.config import MMTConfig
+from .checkpoint import export_params_msgpack
+from .loop import MetricsLogger
+
+Array = jax.Array
+
+
+def clip_tokenize(smiles_list, max_len: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize SMILES for the text tower (framed char-level ids) and build
+    the attention mask (1 = real token). Stands in for the reference's HF
+    ChemBERTa tokenizer when training a tower from scratch; converted
+    ChemBERTa checkpoints bring their own vocab via rank.clip.from_hf_roberta."""
+    toks = np.zeros((len(smiles_list), max_len), np.int32)
+    mask = np.zeros((len(smiles_list), max_len), np.int32)
+    for i, s in enumerate(smiles_list):
+        ids, ok = chem_tokenizer.encode_smiles_framed(s, max_len)
+        toks[i] = ids
+        mask[i] = (np.asarray(ids) != 0).astype(np.int32)
+    return toks, mask
+
+
+@dataclass
+class ContrastiveConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-3
+    num_epochs: int = 3
+    batch_size: int = 32
+    max_text_len: int = 64
+    order_strategy: str = "weight_sorted"  # hard negatives (reference default)
+    temperature: float = 1.0
+    max_steps: int = 0
+
+
+def train_contrastive(
+    mmt_cfg: MMTConfig,
+    mmt_params: Any,
+    records: list,
+    tower: str = "clip",  # "clip" | "blip"
+    ccfg: ContrastiveConfig = ContrastiveConfig(),
+    tower_cfg: Optional[Any] = None,
+    text_tower_cfg: Optional[Any] = None,  # BLIP text tower (CLIPConfig)
+    init_variables: Optional[Any] = None,
+    metrics_path: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+    seed: int = 0,
+) -> tuple[Any, MetricsLogger]:
+    """Train a CLIP or BLIP ranking tower against the frozen MMT.
+
+    Returns (tower variables, metrics logger). On any exception the current
+    variables are saved to ``<checkpoint_path>.backup.msgpack`` before
+    re-raising (the reference's backup-checkpoint behavior)."""
+    rng = jax.random.PRNGKey(seed)
+    mmt_model = mmt.MultimodalTransformer(mmt_cfg.model)
+
+    if tower == "clip":
+        tcfg = tower_cfg or clip_mod.CLIPConfig()
+        tower_model = clip_mod.CLIPRanker(tcfg)
+    elif tower == "blip":
+        qcfg = tower_cfg or qformer_mod.QFormerConfig()
+        text_cfg = text_tower_cfg or clip_mod.CLIPConfig(
+            text_layers=2, text_heads=4, text_hidden=qcfg.encoder_width,
+            text_ffn=4 * qcfg.encoder_width, cb_embedding=qcfg.encoder_width,
+            projection_dim=qcfg.projection_dim,
+        )
+        tower_model = qformer_mod.BLIPRanker(qcfg, text_cfg)
+    else:
+        raise ValueError(tower)
+
+    @jax.jit
+    def encode(inputs):
+        enc = mmt_model.apply({"params": mmt_params}, inputs, None, True)
+        return enc.fingerprint, enc.memory, enc.memory_key_padding_mask
+
+    loader = Loader(
+        records, mmt_cfg.model, ccfg.batch_size, seed=seed,
+        order_strategy=ccfg.order_strategy,
+    )
+
+    # init tower
+    probe = next(iter(loader.epoch(0)))
+    fp, memory, kpm = encode(jax.tree.map(jnp.asarray, probe.inputs))
+    smiles0 = _batch_smiles(probe)
+    toks0, mask0 = clip_tokenize(smiles0, ccfg.max_text_len)
+    if init_variables is not None:
+        variables = init_variables
+    elif tower == "clip":
+        variables = tower_model.init(
+            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            jnp.asarray(toks0), jnp.asarray(mask0), fp, False,
+        )
+    else:
+        variables = tower_model.init(
+            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            jnp.asarray(toks0), jnp.asarray(mask0), memory, kpm, False,
+        )
+
+    tx = optax.adamw(ccfg.learning_rate, weight_decay=ccfg.weight_decay)
+    opt_state = tx.init(variables["params"])
+
+    loss_fn_name = "clip" if tower == "clip" else "blip"
+
+    @jax.jit
+    def train_step(params, opt_state, tokens, mask, fp, memory, kpm, rng):
+        def loss_fn(p):
+            if tower == "clip":
+                cb, mt = tower_model.apply(
+                    {"params": p}, tokens, mask, fp, False, rngs={"dropout": rng}
+                )
+                out = clip_mod.clip_loss(cb, mt, ccfg.temperature)
+                return out.mean_loss
+            text_emb, spec_emb = tower_model.apply(
+                {"params": p}, tokens, mask, memory, kpm, False, rngs={"dropout": rng}
+            )
+            return qformer_mod.blip_loss(text_emb, spec_emb, ccfg.temperature).mean_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    logger = MetricsLogger(metrics_path)
+    params = variables["params"]
+    step_count = 0
+    try:
+        for epoch in range(ccfg.num_epochs):
+            for batch in loader.epoch(epoch):
+                inputs = jax.tree.map(jnp.asarray, batch.inputs)
+                fp, memory, kpm = encode(inputs)
+                smiles = _batch_smiles(batch)
+                toks, mask = clip_tokenize(smiles, ccfg.max_text_len)
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = train_step(
+                    params, opt_state, jnp.asarray(toks), jnp.asarray(mask),
+                    fp, memory, kpm, sub,
+                )
+                step_count += 1
+                logger.log({
+                    "step": step_count, "epoch": epoch,
+                    f"{loss_fn_name}_loss": float(loss),
+                })
+                if ccfg.max_steps and step_count >= ccfg.max_steps:
+                    raise StopIteration
+    except StopIteration:
+        pass
+    except Exception:
+        if checkpoint_path:
+            export_params_msgpack({"params": params}, checkpoint_path + ".backup.msgpack")
+        raise
+
+    variables = {"params": params}
+    if checkpoint_path:
+        export_params_msgpack(variables, checkpoint_path)
+    return variables, logger
+
+
+def _batch_smiles(batch) -> list[str]:
+    from ..utils import vocab
+
+    return [vocab.ids_to_smiles(t[1:]) for t in np.asarray(batch.trg_tokens)]

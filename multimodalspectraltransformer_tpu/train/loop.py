@@ -130,7 +130,7 @@ def run_training(
             if manager is not None:
                 manager.save(state, metrics={"loss": train_loss})
             if gen_metrics_every and step_count % gen_metrics_every == 0:
-                gm = generation_metrics(model, cfg, state.params, b)
+                gm = generation_metrics(model, cfg, state.params, b, step_count)
                 logger.log({"step": step_count, **gm})
             if max_steps and step_count >= max_steps:
                 done = True
@@ -152,11 +152,28 @@ def run_training(
     return TrainResult(state, train_loss, val_loss, step_count, logger)
 
 
-def generation_metrics(model, cfg: MMTConfig, params, batch) -> dict:
-    """In-training greedy-generation metrics: validity / tanimoto of decoded
-    SMILES vs targets (reference ``_generate_sequences`` inside
-    training_step, `models_MMT_v15_4.py:1222-1297` + metric terms in
-    calculate_total_loss)."""
+def anneal_weights(step: int, cfg: MMTConfig) -> tuple[float, float]:
+    """Loss-weight annealing (reference ``change_loss_weights``,
+    `models_MMT_v15_4.py:254-262`): every ``batch_frequency`` steps
+    weight_MW grows by increment*100 (cap 100) and weight_sgnn by
+    increment*10 (cap 10). Returns (weight_mw, weight_sgnn) at ``step``."""
+    t = cfg.train
+    if not t.change_loss_weights:
+        return t.weight_mw, t.weight_sgnn
+    bumps = step // max(t.batch_frequency, 1)
+    w_mw = min(100.0, t.weight_mw + bumps * t.increment * 100)
+    w_sgnn = min(10.0, t.weight_sgnn + bumps * t.increment * 10)
+    return w_mw, w_sgnn
+
+
+def generation_metrics(model, cfg: MMTConfig, params, batch, step: int = 0) -> dict:
+    """In-training generation metrics + the reference's gradient-free
+    auxiliary loss terms (reference ``_generate_sequences`` inside
+    training_step `models_MMT_v15_4.py:1222-1297` and the scalar terms of
+    ``calculate_total_loss`` `:263-355`: min-max-normalized MW MSE over
+    valid generations, optional SGNN spectral-similarity feedback,
+    (1 - tanimoto) and (1 - validity) terms — all of which the reference
+    adds to the loss as Python floats, i.e. no gradient flows through them)."""
     from ..decode import samplers
 
     enc = model.apply({"params": params}, batch.inputs, None, True)
@@ -165,10 +182,69 @@ def generation_metrics(model, cfg: MMTConfig, params, batch) -> dict:
     )
     gen = vocab.batch_ids_to_smiles(np.asarray(res.tokens))
     tgt = [vocab.ids_to_smiles(t[1:]) for t in np.asarray(batch.trg_tokens)]
-    validity = chem.validity_fraction(gen)
-    tanis = [chem.tanimoto(g, t) or 0.0 for g, t in zip(gen, tgt) if chem.is_valid(g)]
+    valid_mask = chem.batch_is_valid(gen)
+    validity = float(np.mean(valid_mask)) if len(gen) else 0.0
+    tanis = [chem.tanimoto(g, t) or 0.0 for g, t, ok in zip(gen, tgt, valid_mask) if ok]
+    tanimoto_mean = float(np.mean(tanis)) if tanis else 0.0
+
+    # MW MSE over the valid generations (reference
+    # calculate_tanimoto_and_mol_weights + min-max normalization `:283-295`)
+    gen_w = chem.batch_exact_mol_wt([g for g, ok in zip(gen, valid_mask) if ok])
+    trg_w = chem.batch_exact_mol_wt([t for t, ok in zip(tgt, valid_mask) if ok])
+    pair_ok = ~(np.isnan(gen_w) | np.isnan(trg_w))
+    mw_loss = 0.0
+    if pair_ok.any():
+        gw, tw = gen_w[pair_ok], trg_w[pair_ok]
+        lo = min(gw.min(), cfg.train.train_weight_min if cfg.train.train_weight_min is not None else gw.min())
+        hi = max(gw.max(), cfg.train.train_weight_max if cfg.train.train_weight_max is not None else gw.max())
+        span = max(hi - lo, 1e-9)
+        mw_loss = float(np.mean(((gw - lo) / span - (tw - lo) / span) ** 2))
+
+    sgnn_error = float("nan")
+    if cfg.train.sgnn_feedback:
+        sgnn_error = spectral_feedback_error(gen, batch, valid_mask)
+
+    w_mw, w_sgnn = anneal_weights(step, cfg)
+    aux_total = (
+        w_mw * mw_loss
+        + (w_sgnn * sgnn_error if np.isfinite(sgnn_error) else 0.0)
+        + cfg.train.weight_tanimoto * (1.0 - tanimoto_mean)
+        + cfg.train.weight_validity * (1.0 - validity)
+    )
     return {
         "gen_validity": validity,
-        "gen_tanimoto_mean": float(np.mean(tanis)) if tanis else 0.0,
+        "gen_tanimoto_mean": tanimoto_mean,
         "gen_exact": float(np.mean([chem.exact_match(g, t) for g, t in zip(gen, tgt)])),
+        "MW_loss": mw_loss,
+        "sgnn_sim_error": sgnn_error,
+        "weight_MW": w_mw,
+        "weight_sgnn": w_sgnn,
+        "aux_loss_total": float(aux_total),
     }
+
+
+def spectral_feedback_error(gen: list[str], batch, valid_mask) -> float:
+    """SGNN feedback term: simulate HSQC for the *generated* molecules and
+    score them against the batch's input HSQC peaks (reference
+    ``run_sgnn_sim_calculations_if_possible_2D``, `models_MMT_v15_4.py:
+    113-197`; HSQC un-normalization H*10 / C*200 at `:315-318`)."""
+    from ..rank import matching
+    from ..sim import factory as sim_factory
+
+    src_hsqc = np.asarray(batch.inputs.src_hsqc)  # [B, P, 2] normalized (H/10, C/200)
+    errors = []
+    for i, (g, ok) in enumerate(zip(gen, valid_mask)):
+        if not ok:
+            continue
+        recs = sim_factory.simulate_records([g], sample_ids=[str(i)])
+        if not recs or not recs[0].hsqc:
+            continue
+        sim_peaks = np.asarray(recs[0].hsqc, dtype=np.float64)  # [(H, C)]
+        live = ~(src_hsqc[i] == 0).all(axis=1)
+        if not live.any():
+            continue
+        query = np.stack([src_hsqc[i][live, 0] * 10.0, src_hsqc[i][live, 1] * 200.0], axis=1)
+        err = matching.spectral_error(query, sim_peaks, mode="hung_dist_nn", error="avg")
+        if np.isfinite(err):
+            errors.append(err)
+    return float(np.mean(errors)) if errors else float("nan")

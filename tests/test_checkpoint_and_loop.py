@@ -97,3 +97,50 @@ def test_metrics_logger_history():
     log = MetricsLogger(None)
     log.log({"step": 1, "x": jnp.asarray(2.5)})
     assert log.history[0]["x"] == 2.5
+
+
+def test_anneal_weights_schedule():
+    """change_loss_weights annealing (reference models_MMT_v15_4.py:254-262)."""
+    from multimodalspectraltransformer_tpu.train.loop import anneal_weights
+    from multimodalspectraltransformer_tpu.utils.config import MMTConfig, ModelConfig, TrainConfig
+
+    cfg = MMTConfig(
+        model=ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64),
+        train=TrainConfig(change_loss_weights=True, batch_frequency=10, increment=0.01,
+                          weight_mw=0.0, weight_sgnn=0.0),
+    )
+    assert anneal_weights(0, cfg) == (0.0, 0.0)
+    w_mw, w_sgnn = anneal_weights(10, cfg)
+    assert abs(w_mw - 1.0) < 1e-9 and abs(w_sgnn - 0.1) < 1e-9
+    w_mw, w_sgnn = anneal_weights(10_000_000, cfg)
+    assert w_mw == 100.0 and w_sgnn == 10.0  # caps
+    # disabled -> static
+    cfg2 = MMTConfig(model=cfg.model, train=TrainConfig(change_loss_weights=False, weight_mw=2.0))
+    assert anneal_weights(999, cfg2) == (2.0, 0.0)
+
+
+def test_generation_metrics_aux_terms():
+    """MW MSE + tanimoto/validity aux terms over a real tiny batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalspectraltransformer_tpu.data import pipeline as dp
+    from multimodalspectraltransformer_tpu.models import mmt as mmt_mod
+    from multimodalspectraltransformer_tpu.train.loop import generation_metrics
+    from multimodalspectraltransformer_tpu.utils.config import MMTConfig, ModelConfig, TrainConfig
+
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+    cfg = MMTConfig(model=mcfg, train=TrainConfig(weight_tanimoto=1.0, weight_validity=1.0,
+                                                  sgnn_feedback=True))
+    records = dp.synthetic_dataset(4, seed=1)
+    loader = dp.Loader(records, mcfg, batch_size=4)
+    batch = next(iter(loader.epoch(0)))
+    model = mmt_mod.MultimodalTransformer(mcfg)
+    params = mmt_mod.init_params(mcfg, jax.random.PRNGKey(0))
+    b = jax.tree.map(jnp.asarray, batch)
+    gm = generation_metrics(model, cfg, params, b, step=0)
+    for key in ("gen_validity", "gen_tanimoto_mean", "MW_loss", "aux_loss_total",
+                "weight_MW", "weight_sgnn", "sgnn_sim_error"):
+        assert key in gm
+    assert 0.0 <= gm["gen_validity"] <= 1.0
+    assert gm["aux_loss_total"] >= 0.0
