@@ -3,11 +3,14 @@ driver scripts (`scripts/script_PC_0_250.py` and siblings) and execution
 dispatcher (`execution_function_v15_4.py`).
 
 Subcommands:
-  simulate   SMILES (csv/txt) -> simulated spectra CSVs (the data factory)
-  train      train the MMT on spectra CSVs (or --synthetic fixtures)
-  evaluate   run the full evaluation harness, print a metrics JSON
-  improve    run the self-improvement fine-tuning cycle
-  bench      run the throughput benchmark (one JSON line)
+  simulate    SMILES (csv/txt) -> simulated spectra CSVs (the data factory)
+  train       train the MMT on spectra CSVs (or --synthetic fixtures)
+  train-clip  train the CLIP/BLIP contrastive ranking tower
+  evaluate    run the full evaluation harness, print a metrics JSON
+  improve     run the self-improvement fine-tuning cycle
+  vectorize   build/query a fingerprint vector DB
+  serve       run the web serving console (job queue + SSE, port 8083)
+  bench       run the throughput benchmark (one JSON line)
 
 Examples:
   python -m multimodalspectraltransformer_tpu.cli simulate --smiles mols.txt --out simdata/
@@ -204,6 +207,69 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .serve import ServerState, serve
+    from .utils.config import ModelConfig
+
+    mcfg = ModelConfig(num_encoder_layers=2, num_decoder_layers=2) if args.small else ModelConfig()
+    state = ServerState(model_cfg=mcfg)
+    if args.params:
+        state.load_checkpoint(args.params)
+    serve(port=args.port, state=state)
+    return 0
+
+
+def cmd_train_clip(args) -> int:
+    import jax
+
+    from .data import pipeline as dp
+    from .models import mmt
+    from .train import contrastive
+    from .utils.config import MMTConfig, ModelConfig
+
+    mcfg = ModelConfig(num_encoder_layers=2, num_decoder_layers=2) if args.small else ModelConfig()
+    cfg = MMTConfig(model=mcfg)
+    if args.synthetic:
+        records = dp.synthetic_dataset(args.synthetic, seed=args.seed)
+    else:
+        records = dp.load_spectra_csvs(args.csv_1h, args.csv_13c, args.csv_hsqc,
+                                       args.csv_cosy, args.ir_folder, limit=args.limit)
+    if args.params:
+        from .train import checkpoint as ckpt
+
+        template = mmt.init_params(mcfg, jax.random.PRNGKey(0))
+        params = ckpt.import_params_msgpack(template, args.params)
+    else:
+        params = mmt.init_params(mcfg, jax.random.PRNGKey(args.seed))
+    ccfg = contrastive.ContrastiveConfig(
+        learning_rate=args.lr, num_epochs=args.epochs,
+        batch_size=args.batch_size, max_steps=args.steps,
+    )
+    variables, logger = contrastive.train_contrastive(
+        cfg, params, records, tower=args.tower, ccfg=ccfg,
+        metrics_path=os.path.join(args.out, "metrics.jsonl") if args.out else None,
+        checkpoint_path=os.path.join(args.out, f"{args.tower}.msgpack") if args.out else None,
+    )
+    last = [r for r in logger.history if f"{args.tower}_loss" in r]
+    print(json.dumps({"steps": len(last), "final_loss": last[-1][f"{args.tower}_loss"] if last else None}))
+    return 0
+
+
+def cmd_vectorize(args) -> int:
+    from .eval import vectordb
+
+    smiles = _read_smiles(args.smiles)
+    db = vectordb.build_morgan_db(smiles, n_bits=args.bits)
+    db.save(args.out)
+    if args.csv:
+        db.export_csv(args.out + ".csv")
+    print(json.dumps({"n": len(db), "out": args.out}))
+    if args.query:
+        scores, idx, names, valid = vectordb.query_smiles(db, [args.query], k=args.k)
+        print(json.dumps({"query": args.query, "hits": names[0], "scores": scores[0].tolist()}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mmst", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -266,6 +332,31 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch", type=int, default=128)
     sp.add_argument("--beam", type=int, default=5)
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("serve", help="web serving console (port 8083)")
+    sp.add_argument("--port", type=int, default=8083)
+    sp.add_argument("--small", action="store_true")
+    sp.add_argument("--params", default="")
+    sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("train-clip", help="train the CLIP/BLIP ranking tower")
+    add_common(sp)
+    sp.add_argument("--tower", choices=("clip", "blip"), default="clip")
+    sp.add_argument("--out", default="")
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--epochs", type=int, default=3)
+    sp.add_argument("--steps", type=int, default=0)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.set_defaults(fn=cmd_train_clip)
+
+    sp = sub.add_parser("vectorize", help="build a fingerprint vector DB")
+    sp.add_argument("--smiles", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--bits", type=int, default=512)
+    sp.add_argument("--csv", action="store_true", help="also export reference-format CSV")
+    sp.add_argument("--query", default="", help="optionally query one SMILES")
+    sp.add_argument("--k", type=int, default=10)
+    sp.set_defaults(fn=cmd_vectorize)
     return p
 
 
