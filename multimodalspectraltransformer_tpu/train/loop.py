@@ -23,8 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import TYPE_CHECKING
+
 from ..chem import api as chem
-from ..data.pipeline import Loader
+
+if TYPE_CHECKING:  # type-only: data.pipeline imports train.step (cycle)
+    from ..data.pipeline import Loader
 from ..models import mmt
 from ..parallel import batch_sharding, make_mesh, param_shardings
 from ..utils import vocab
@@ -111,40 +115,52 @@ def run_training(
     step_count = int(state.step)
     done = False
 
-    for epoch in range(cfg.train.num_epochs):
-        if done:
-            break
-        for batch in train_loader.epoch(epoch):
-            b = put_batch(batch)
-            state, m = train_step(model, cfg, state, b, rng)
-            step_count = int(state.step)
-            train_loss = float(m.loss)
-            logger.log({
-                "step": step_count, "epoch": epoch,
-                "train_loss": train_loss,
-                "SMI_loss": float(m.smi_loss),
-                "FP_loss": float(m.fp_loss),
-                "token_accuracy": float(m.token_accuracy),
-                "grad_norm": float(m.grad_norm),
-            })
-            if manager is not None:
-                manager.save(state, metrics={"loss": train_loss})
-            if gen_metrics_every and step_count % gen_metrics_every == 0:
-                gm = generation_metrics(model, cfg, state.params, b, step_count)
-                logger.log({"step": step_count, **gm})
-            if max_steps and step_count >= max_steps:
-                done = True
+    try:
+        for epoch in range(cfg.train.num_epochs):
+            if done:
                 break
-
-        if val_loader is not None:
-            losses = []
-            for batch in val_loader.epoch(epoch):
+            for batch in train_loader.epoch(epoch):
                 b = put_batch(batch)
-                vm = eval_step(model, cfg, state.params, b)
-                losses.append(float(vm.loss))
-            if losses:
-                val_loss = float(np.mean(losses))
-                logger.log({"step": step_count, "epoch": epoch, "val_loss": val_loss})
+                state, m = train_step(model, cfg, state, b, rng)
+                step_count = int(state.step)
+                train_loss = float(m.loss)
+                logger.log({
+                    "step": step_count, "epoch": epoch,
+                    "train_loss": train_loss,
+                    "SMI_loss": float(m.smi_loss),
+                    "FP_loss": float(m.fp_loss),
+                    "token_accuracy": float(m.token_accuracy),
+                    "grad_norm": float(m.grad_norm),
+                })
+                if manager is not None:
+                    manager.save(state, metrics={"loss": train_loss})
+                if gen_metrics_every and step_count % gen_metrics_every == 0:
+                    gm = generation_metrics(model, cfg, state.params, b, step_count)
+                    logger.log({"step": step_count, **gm})
+                if max_steps and step_count >= max_steps:
+                    done = True
+                    break
+
+            if val_loader is not None:
+                losses = []
+                for batch in val_loader.epoch(epoch):
+                    b = put_batch(batch)
+                    vm = eval_step(model, cfg, state.params, b)
+                    losses.append(float(vm.loss))
+                if losses:
+                    val_loss = float(np.mean(losses))
+                    logger.log({"step": step_count, "epoch": epoch, "val_loss": val_loss})
+    except Exception:
+        # the reference's last-resort backup on any training exception
+        # (`MT_functions_v15_4.py:138-158` saves last_backup_checkpoint.ckpt)
+        if checkpoint_dir:
+            try:
+                ckpt_mod.export_params_msgpack(
+                    state.params, os.path.join(checkpoint_dir, "last_backup_params.msgpack")
+                )
+            except Exception:
+                pass
+        raise
 
     if manager is not None:
         manager.wait()

@@ -18,3 +18,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert len(jax.devices()) == 8, jax.devices()
+
+# Persistent compilation cache: the suite's cost is dominated by XLA CPU
+# compiles of the jitted decode/train loops; caching them makes re-runs and
+# shared-shape tests dramatically faster.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

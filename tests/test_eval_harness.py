@@ -45,7 +45,7 @@ def test_generate_candidates_filters():
     f = dp.featurize(recs[0], MCFG)
     tb = dp.collate([f])
     enc = harness._encode_batch(model, params, jax.tree.map(jnp.asarray, tb.inputs))
-    dcfg = DecodeConfig(max_len=48, fanout=16, multinom_runs=4, max_temp_rounds=3, mw_filter=False)
+    dcfg = DecodeConfig(max_len=32, fanout=8, multinom_runs=4, max_temp_rounds=3, mw_filter=False)
     cand = generation.generate_candidates(
         params, MCFG, enc.memory[:1], enc.memory_key_padding_mask[:1], jax.random.PRNGKey(0), dcfg
     )
@@ -66,7 +66,7 @@ def test_mw_filter_rejects_wrong_mass():
     f = dp.featurize(recs[0], MCFG)
     tb = dp.collate([f])
     enc = harness._encode_batch(model, params, jax.tree.map(jnp.asarray, tb.inputs))
-    dcfg = DecodeConfig(max_len=48, fanout=16, multinom_runs=8, max_temp_rounds=2, mw_filter=True, mw_delta=0.5)
+    dcfg = DecodeConfig(max_len=32, fanout=8, multinom_runs=8, max_temp_rounds=2, mw_filter=True, mw_delta=0.5)
     cand = generation.generate_candidates(
         params, MCFG, enc.memory[:1], enc.memory_key_padding_mask[:1], jax.random.PRNGKey(0), dcfg,
         target_mw=float(f["mw"]),
