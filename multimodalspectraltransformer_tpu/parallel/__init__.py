@@ -3,6 +3,7 @@ from .mesh import (  # noqa: F401
     MODEL_AXIS,
     batch_sharding,
     make_mesh,
+    make_multislice_mesh,
     param_shardings,
     replicated,
 )

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"  # multi-slice axis: crossings ride the data-center network
 
 
 def make_mesh(
@@ -39,8 +40,45 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(
+    slices: int, data: int = -1, model: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    """(dcn, data, model) mesh for multi-slice pods (SURVEY.md §5.8).
+
+    Only the leading ``dcn`` axis crosses slices: batch is sharded over
+    (dcn, data) so the gradient all-reduce decomposes into a fast ICI
+    reduce within each slice plus one slice-count-sized DCN reduce — model
+    (tensor-parallel) collectives never leave a slice. On real multi-slice
+    hardware pass the devices from ``mesh_utils.create_hybrid_device_mesh``;
+    here any device list (incl. virtual CPU devices) is reshaped
+    slice-major, which matches how multi-slice device ids enumerate."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % slices == 0, f"{n} devices not divisible by {slices} slices"
+    per_slice = n // slices
+    if data == -1:
+        assert per_slice % model == 0
+        data = per_slice // model
+    assert slices * data * model == n, f"mesh {slices}x{data}x{model} != {n}"
+    try:
+        from jax.experimental import mesh_utils
+
+        if jax.devices()[0].platform == "tpu" and devices == list(jax.devices()):
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (data, model), (slices, 1), devices=devices
+            ).reshape(slices, data, model)
+            return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+    except Exception:
+        pass
+    arr = np.asarray(devices).reshape(slices, data, model)
+    return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    """Shard the leading (batch) dim over the data-parallel axes (dcn+data
+    on multi-slice meshes), replicate the rest."""
+    if DCN_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

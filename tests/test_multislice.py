@@ -1,0 +1,61 @@
+"""Multi-slice (DCN) mesh: train step over a (dcn, data, model) mesh on the
+virtual 8-device CPU backend must match the single-device step (SURVEY.md
+§5.8 — DP-only crossing over DCN, TP confined to a slice)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalspectraltransformer_tpu import parallel
+from multimodalspectraltransformer_tpu.data import pipeline as dp
+from multimodalspectraltransformer_tpu.models import mmt
+from multimodalspectraltransformer_tpu.train import create_state, train_step
+from multimodalspectraltransformer_tpu.utils.config import MMTConfig, ModelConfig, TrainConfig
+
+MCFG = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+CFG = MMTConfig(model=MCFG, train=TrainConfig(learning_rate=1e-3))
+
+
+def _batch(n=8):
+    records = dp.synthetic_dataset(n, seed=2)
+    loader = dp.Loader(records, MCFG, batch_size=n)
+    return next(iter(loader.epoch(0)))
+
+
+def test_multislice_mesh_axes_and_sharding():
+    mesh = parallel.make_multislice_mesh(slices=2, data=2, model=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert mesh.devices.shape == (2, 2, 2)
+    bs = parallel.batch_sharding(mesh)
+    x = jax.device_put(jnp.zeros((8, 4)), bs)
+    # batch spread over dcn*data = 4 shards
+    assert len({d for d in x.devices()}) == 8 or x.sharding.num_devices == 8
+
+
+def test_multislice_train_step_matches_single_device():
+    batch = _batch(8)
+    model = mmt.MultimodalTransformer(MCFG)
+    params = mmt.init_params(MCFG, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(7)
+
+    # single device (copy params: train_step donates its state buffers and
+    # device_put to the resident device aliases instead of copying)
+    b1 = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), jax.devices()[0]), batch)
+    p1 = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    s1 = create_state(CFG.train, p1)
+    s1, m1 = train_step(model, CFG, s1, b1, rng)
+
+    # 2 slices x 2 data x 2 model
+    mesh = parallel.make_multislice_mesh(slices=2, data=2, model=2)
+    shardings = parallel.param_shardings(mesh, params, tensor_parallel=True)
+    p2 = jax.device_put(params, shardings)
+    bs = parallel.batch_sharding(mesh)
+    b2 = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bs), batch)
+    s2 = create_state(CFG.train, p2)
+    s2, m2 = train_step(model, CFG, s2, b2, rng)
+
+    np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=2e-5, atol=2e-5)
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
