@@ -336,6 +336,24 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
             if path == "/api/health":
                 return _json_resp(start_response, {"ok": True, "records": len(st.records), "sim_records": len(st.sim_records)})
 
+            if path == "/api/model" and method == "POST":
+                payload = req.json()
+                if payload.get("preset"):
+                    small = payload["preset"] == "small"
+                    with st.lock:
+                        st.model_cfg = (
+                            ModelConfig(num_encoder_layers=2, num_decoder_layers=2)
+                            if small else ModelConfig()
+                        )
+                        st.params = None  # re-init lazily for the new shape
+                if payload.get("checkpoint"):
+                    st.load_checkpoint(payload["checkpoint"])
+                return _json_resp(start_response, {
+                    "ok": True,
+                    "layers": st.model_cfg.num_encoder_layers,
+                    "loaded": bool(payload.get("checkpoint")),
+                })
+
             if path == "/api/upload" and method == "POST":
                 recs = _records_from_payload(req.json())
                 with st.lock:

@@ -159,3 +159,9 @@ def test_job_listing_and_missing(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_model_route(server):
+    base, state = server
+    out = _post(base + "/api/model", {"preset": "small"})
+    assert out["ok"] and out["layers"] == 2
