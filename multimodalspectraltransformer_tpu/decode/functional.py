@@ -191,6 +191,108 @@ def decoder_step(
     return logits, DecodeState(tuple(new_k), tuple(new_v))
 
 
+def init_beam_cache(cfg: ModelConfig, batch: int, beam_size: int, dtype=jnp.float32) -> DecodeState:
+    """Beam-mode KV cache: [B, H, Dh, T*L] with lanes CONTIGUOUS per step
+    (index t*L + l), so each step's write is one dynamic_update_slice of a
+    [B, H, Dh, L] block and both attention contractions run layout-native."""
+    H = cfg.num_heads
+    Dh = cfg.hidden_size // H
+    shape = (batch, H, Dh, cfg.max_len * beam_size)
+    L = cfg.num_decoder_layers
+    return DecodeState(
+        tuple(jnp.zeros(shape, dtype) for _ in range(L)),
+        tuple(jnp.zeros(shape, dtype) for _ in range(L)),
+    )
+
+
+def beam_decoder_step(
+    params: Params,
+    cfg: ModelConfig,
+    state: DecodeState,  # init_beam_cache layout [B, H, Dh, T*L]
+    tokens: Array,  # [B*K] current token per beam lane
+    pos: Array,  # scalar int32
+    cross: CrossKV,  # built from UN-duplicated memory ([B] samples)
+    ancestry: Array,  # [B, K, T_max] int32: lane holding this beam's KV at t
+    beam_size: int,
+) -> tuple[Array, DecodeState]:
+    """Beam-mode incremental step with an APPEND-ONLY cache.
+
+    Classic beam search reorders the whole KV cache by parent every step;
+    on TPU that rewrite (~2x the cache per step, with an 8-sublane padded
+    layout) costs ~5x the decoder math itself (measured 10 ms vs 1.6 ms per
+    step at batch 128 x beam 5). Here lanes never move: each lane appends
+    the K/V of whatever beam currently occupies it, and self-attention for
+    beam k runs over ALL lanes' caches with an additive ancestry mask that
+    keeps exactly one (lane, t) key per past position — the lane that held
+    this beam's ancestor at time t. The per-step state copy shrinks from
+    the full cache to the [B, K, T] int32 ancestry matrix.
+    """
+    D = cfg.hidden_size
+    H = cfg.num_heads
+    Dh = D // H
+    K = beam_size
+    eps = cfg.layer_norm_eps
+    T = cfg.max_len
+
+    x = params["embed_trg"]["embedding"][tokens] + params["pe_trg"]["embedding"][pos]
+    x = x[:, None, :]  # [B*K, 1, D]
+    BK = x.shape[0]
+    B = BK // K
+
+    # ancestry bias in the cache's (t, l) flattened order: [B, 1(H), K, T*L]
+    lane_ids = jnp.arange(K, dtype=ancestry.dtype)
+    anc_ok = ancestry[:, :, :, None] == lane_ids[None, None, None, :]  # [B,K,T,L]
+    t_ok = (jnp.arange(T) <= pos)[None, None, :, None]
+    self_bias = (
+        jnp.where(anc_ok & t_ok, 0.0, -jnp.inf).astype(x.dtype)
+        .reshape(B, K, T * K)[:, None, :, :]
+    )
+
+    new_k, new_v = [], []
+    scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, x.dtype))
+
+    for i in range(cfg.num_decoder_layers):
+        lp = params["decoder"][f"layers_{i}"]
+
+        # ---- ancestry-masked causal self-attention over all lanes ----
+        sp = lp["self_attn"]
+        qkv = x @ sp["in_proj_weight"].T + sp["in_proj_bias"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # new entries: [B*K, 1, D] -> [B, H, Dh, L] block at column pos*K
+        new_block_k = k.reshape(B, K, H, Dh).transpose(0, 2, 3, 1)
+        new_block_v = v.reshape(B, K, H, Dh).transpose(0, 2, 3, 1)
+        k_i = jax.lax.dynamic_update_slice(state.k_cache[i], new_block_k, (0, 0, 0, pos * K))
+        v_i = jax.lax.dynamic_update_slice(state.v_cache[i], new_block_v, (0, 0, 0, pos * K))
+        new_k.append(k_i)
+        new_v.append(v_i)
+        qb = q.reshape(B, K, H, Dh).transpose(0, 2, 1, 3) * scale  # [B,H,K,Dh]
+        scores = jnp.einsum("bhkd,bhdm->bhkm", qb, k_i) + self_bias  # m = T*L
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        sa = jnp.einsum("bhkm,bhdm->bhkd", attn, v_i)  # [B,H,K,Dh]
+        sa = sa.transpose(0, 2, 1, 3).reshape(BK, 1, D)
+        sa = sa @ sp["out_proj_weight"].T + sp["out_proj_bias"]
+        x = _ln(x + sa, lp["norm1"], eps)
+
+        # ---- cross-attention (grouped: lanes share per-sample K/V) ----
+        cp = lp["multihead_attn"]
+        q2 = x @ cp["in_proj_weight"][:D].T + cp["in_proj_bias"][:D]
+        q2 = q2.reshape(B, K, H, Dh).transpose(0, 2, 1, 3) * scale  # [B,H,K,Dh]
+        scores2 = jnp.einsum("bhgd,bhdk->bhgk", q2, cross.k[i]) + cross.mask_bias
+        attn2 = jax.nn.softmax(scores2.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ca = jnp.einsum("bhgk,bhdk->bhgd", attn2, cross.v[i])
+        ca = ca.transpose(0, 2, 1, 3).reshape(BK, 1, D)
+        ca = ca @ cp["out_proj_weight"].T + cp["out_proj_bias"]
+        x = _ln(x + ca, lp["norm2"], eps)
+
+        # ---- feed-forward ----
+        y = jax.nn.relu(x @ lp["linear1"]["kernel"] + lp["linear1"]["bias"])
+        y = y @ lp["linear2"]["kernel"] + lp["linear2"]["bias"]
+        x = _ln(x + y, lp["norm3"], eps)
+
+    logits = x[:, 0, :] @ params["fc_out"]["kernel"] + params["fc_out"]["bias"]
+    return logits, DecodeState(tuple(new_k), tuple(new_v))
+
+
 def real_data_blend(params: Params, memory: Array) -> Array:
     """Precompute the experimental-data blend vector
     (reference `models_MMT_v15_4.py:965-971`): real_data_linear(mean(memory))."""

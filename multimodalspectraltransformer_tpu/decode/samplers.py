@@ -29,8 +29,10 @@ from ..utils.config import ModelConfig
 from .functional import (
     CrossKV,
     DecodeState,
+    beam_decoder_step,
     decoder_step,
     gather_lanes,
+    init_beam_cache,
     init_cache,
     precompute_cross_kv,
 )
@@ -175,7 +177,7 @@ class BeamResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "beam_size", "early_exit", "compute_dtype"))
-def beam_search(
+def beam_search_materialized(
     params: Params,
     cfg: ModelConfig,
     memory: Array,  # [B, S, D]
@@ -260,6 +262,99 @@ def beam_search(
             finished,
             all_done,
         )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    order = jnp.argsort(-final.scores, axis=1)
+    tokens = jnp.take_along_axis(final.out, order[:, :, None], axis=1)
+    scores = jnp.take_along_axis(final.scores, order, axis=1)
+    has_eos = jnp.any(tokens == vocab.EOS_ID, axis=2)
+    eos_pos = jnp.argmax(tokens == vocab.EOS_ID, axis=2)
+    lengths = jnp.where(has_eos, eos_pos + 1, jnp.sum(tokens != vocab.PAD_ID, axis=2))
+    return BeamResult(tokens, scores, lengths)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "beam_size", "early_exit", "compute_dtype"))
+def beam_search(
+    params: Params,
+    cfg: ModelConfig,
+    memory: Array,  # [B, S, D]
+    memory_kpm: Array,
+    beam_size: int = 5,
+    temperature: float = 1.0,
+    max_len: int = 128,
+    early_exit: bool = True,
+    compute_dtype: Optional[str] = None,
+) -> BeamResult:
+    """Batched beam search with an APPEND-ONLY KV cache.
+
+    Identical results to ``beam_search_materialized`` (tested), but instead
+    of reordering the whole cache by parent beam every step (the dominant
+    cost: a full-cache rewrite per token), lanes are immutable and
+    self-attention runs under an ancestry mask (functional.beam_decoder_step).
+    The per-step reorder shrinks to a [B, K, T] int32 matrix.
+    """
+    if compute_dtype is not None:
+        params = _cast_decode_params(params, compute_dtype)
+        memory = memory.astype(compute_dtype)
+    B, S, D = memory.shape
+    K = beam_size
+    V = cfg.smiles_vocab_size
+    T = cfg.max_len
+    NEG = jnp.asarray(-1e30, jnp.float32)
+
+    cross = precompute_cross_kv(params, cfg, memory, memory_kpm)
+    lane_default = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, 1, T))
+
+    class S2(NamedTuple):
+        t: Array
+        cache: DecodeState
+        last: Array  # [B*K]
+        ancestry: Array  # [B, K, T] int32
+        out: Array  # [B, K, max_len]
+        scores: Array  # [B, K]
+        finished: Array  # [B, K]
+        all_done: Array
+
+    scores0 = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)
+    init = S2(
+        t=jnp.asarray(0, jnp.int32),
+        cache=init_beam_cache(cfg, B, K, memory.dtype),
+        last=jnp.full((B * K,), vocab.SOS_ID, jnp.int32),
+        ancestry=lane_default,
+        out=jnp.zeros((B, K, max_len), jnp.int32),
+        scores=scores0,
+        finished=jnp.zeros((B, K), bool),
+        all_done=jnp.asarray(False),
+    )
+
+    def cond(s: S2):
+        return (s.t < max_len) & ~s.all_done
+
+    def body(s: S2):
+        logits, cache = beam_decoder_step(
+            params, cfg, s.cache, s.last, s.t, cross, s.ancestry, K
+        )
+        logits = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits / temperature, axis=-1).reshape(B, K, V)
+        pad_only = jnp.full((V,), NEG, logp.dtype).at[vocab.PAD_ID].set(0.0)
+        logp = jnp.where(s.finished[:, :, None], pad_only[None, None, :], logp)
+        combined = s.scores[:, :, None] + logp  # [B, K, V]
+        top_scores, top_idx = jax.lax.top_k(combined.reshape(B, K * V), K)
+        parent = top_idx // V
+        token = (top_idx % V).astype(jnp.int32)
+
+        # reorder beam-level state by parent (all small tensors)
+        out = jnp.take_along_axis(s.out, parent[:, :, None], axis=1)
+        out = out.at[:, :, s.t].set(token)
+        anc = jnp.take_along_axis(s.ancestry, parent[:, :, None], axis=1)
+        # future positions belong to this beam's own lane
+        future = jnp.arange(T)[None, None, :] > s.t
+        anc = jnp.where(future, lane_default, anc)
+        finished = jnp.take_along_axis(s.finished, parent, axis=1)
+        finished = finished | (token == vocab.EOS_ID) | (token == vocab.PAD_ID)
+        all_done = jnp.all(finished) if early_exit else jnp.asarray(False)
+        return S2(s.t + 1, cache, token.reshape(-1), anc, out, top_scores, finished, all_done)
 
     final = jax.lax.while_loop(cond, body, init)
 

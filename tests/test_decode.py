@@ -195,3 +195,17 @@ def test_bfloat16_decode_paths():
     assert b16.tokens.shape == (3, 4, 16)
     assert np.asarray(b16.scores).dtype == np.float32
     assert np.isfinite(np.asarray(b16.scores)).all()
+
+
+def test_ancestry_beam_matches_materialized_beam():
+    """The append-only ancestry-masked beam must produce identical tokens
+    and scores to the cache-reordering implementation."""
+    _model, variables, enc = _setup(batch=3)
+    params = variables["params"]
+    for K in (1, 4):
+        a = samplers.beam_search(params, CFG, enc.memory, enc.memory_key_padding_mask, K, 1.0, 16)
+        m = samplers.beam_search_materialized(
+            params, CFG, enc.memory, enc.memory_key_padding_mask, K, 1.0, 16)
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(m.tokens))
+        np.testing.assert_allclose(np.asarray(a.scores), np.asarray(m.scores), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(m.lengths))
