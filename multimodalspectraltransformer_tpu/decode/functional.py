@@ -214,6 +214,7 @@ def beam_decoder_step(
     cross: CrossKV,  # built from UN-duplicated memory ([B] samples)
     ancestry: Array,  # [B, K, T_max] int32: lane holding this beam's KV at t
     beam_size: int,
+    use_pallas: bool = False,  # fused VMEM attention kernel (TPU only)
 ) -> tuple[Array, DecodeState]:
     """Beam-mode incremental step with an APPEND-ONLY cache.
 
@@ -239,14 +240,12 @@ def beam_decoder_step(
     BK = x.shape[0]
     B = BK // K
 
-    # ancestry bias in the cache's (t, l) flattened order: [B, 1(H), K, T*L]
+    # ancestry bias in the cache's (t, l) flattened order: [B, K, T*L]
     lane_ids = jnp.arange(K, dtype=ancestry.dtype)
     anc_ok = ancestry[:, :, :, None] == lane_ids[None, None, None, :]  # [B,K,T,L]
     t_ok = (jnp.arange(T) <= pos)[None, None, :, None]
-    self_bias = (
-        jnp.where(anc_ok & t_ok, 0.0, -jnp.inf).astype(x.dtype)
-        .reshape(B, K, T * K)[:, None, :, :]
-    )
+    bias_km = jnp.where(anc_ok & t_ok, 0.0, -jnp.inf).astype(x.dtype).reshape(B, K, T * K)
+    self_bias = bias_km[:, None, :, :]
 
     new_k, new_v = [], []
     scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, x.dtype))
@@ -266,9 +265,14 @@ def beam_decoder_step(
         new_k.append(k_i)
         new_v.append(v_i)
         qb = q.reshape(B, K, H, Dh).transpose(0, 2, 1, 3) * scale  # [B,H,K,Dh]
-        scores = jnp.einsum("bhkd,bhdm->bhkm", qb, k_i) + self_bias  # m = T*L
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        sa = jnp.einsum("bhkm,bhdm->bhkd", attn, v_i)  # [B,H,K,Dh]
+        if use_pallas:
+            from ..ops.beam_attention import beam_attention
+
+            sa = beam_attention(qb, k_i, v_i, bias_km)  # [B,H,K,Dh]
+        else:
+            scores = jnp.einsum("bhkd,bhdm->bhkm", qb, k_i) + self_bias  # m = T*L
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+            sa = jnp.einsum("bhkm,bhdm->bhkd", attn, v_i)  # [B,H,K,Dh]
         sa = sa.transpose(0, 2, 1, 3).reshape(BK, 1, D)
         sa = sa @ sp["out_proj_weight"].T + sp["out_proj_bias"]
         x = _ln(x + sa, lp["norm1"], eps)

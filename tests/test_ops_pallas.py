@@ -51,3 +51,49 @@ def test_batched_assignment_error_pallas():
         d = np.linalg.norm(q[:, None, :] - cands[ci][None, :, :], axis=-1)
         expected = d[linear_sum_assignment(d)].sum() / 12
         assert abs(err[ci] - expected) < 1e-3
+
+
+def test_beam_attention_kernel_matches_xla():
+    """Fused ancestry-attention kernel == the XLA einsum chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalspectraltransformer_tpu.ops.beam_attention import beam_attention
+
+    B, H, K, Dh, M = 3, 4, 5, 8, 128
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, K, Dh), jnp.float32)
+    kc = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32)
+    vc = jnp.asarray(rng.randn(B, H, Dh, M), jnp.float32)
+    mask = rng.rand(B, K, M) < 0.3
+    mask[:, :, 0] = True  # at least one valid key per row
+    bias = jnp.where(jnp.asarray(mask), 0.0, -jnp.inf).astype(jnp.float32)
+    ref_s = jnp.einsum("bhkd,bhdm->bhkm", q, kc) + bias[:, None]
+    ref = jnp.einsum("bhkm,bhdm->bhkd", jax.nn.softmax(ref_s, -1), vc)
+    out = beam_attention(q, kc, vc, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_beam_decoder_step_pallas_flag_matches():
+    """beam_decoder_step(use_pallas=True) == default path (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalspectraltransformer_tpu.decode import functional as F
+    from multimodalspectraltransformer_tpu.models import mmt
+    from multimodalspectraltransformer_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+    params = mmt.init_params(cfg, jax.random.PRNGKey(0))
+    B, K = 2, 3
+    batch = mmt.dummy_batch(cfg, B)
+    model = mmt.MultimodalTransformer(cfg)
+    enc = jax.jit(lambda p, b: model.apply({"params": p}, b, None, True))(params, batch)
+    cross = F.precompute_cross_kv(params, cfg, enc.memory, enc.memory_key_padding_mask)
+    cache = F.init_beam_cache(cfg, B, K)
+    toks = jnp.zeros((B * K,), jnp.int32)
+    anc = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, 1, cfg.max_len))
+    pos = jnp.asarray(0, jnp.int32)
+    l0, c0 = jax.jit(lambda c: F.beam_decoder_step(params, cfg, c, toks, pos, cross, anc, K))(cache)
+    l1, c1 = jax.jit(lambda c: F.beam_decoder_step(params, cfg, c, toks, pos, cross, anc, K, use_pallas=True))(cache)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-5, atol=1e-5)
