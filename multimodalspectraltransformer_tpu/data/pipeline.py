@@ -156,6 +156,30 @@ class FeaturizeOptions:
     blank_percentage: float = 0.0
     randomize_smiles: bool = False
     use_ir: bool = True
+    # HSQC noise pollution (reference pollute_HSQC_data,
+    # `dataloaders_pl_v15_4.py:117-140`): inject up to `hsqc_noise_max`
+    # random extra peaks drawn from a pool (or uniform over the ppm ranges)
+    hsqc_noise_max: int = 0
+    hsqc_noise_pool: Optional[list] = None  # [(dH, dC), ...]
+
+
+def pollute_hsqc(
+    peaks: list, opts: "FeaturizeOptions", rng: random.Random
+) -> list:
+    """Add 0..hsqc_noise_max random noise peaks to an HSQC peak list
+    (the reference samples from an experimental noise-peak pool; without a
+    pool, peaks are drawn uniformly over typical 1H/13C ranges)."""
+    if opts.hsqc_noise_max <= 0:
+        return peaks
+    n = rng.randint(0, opts.hsqc_noise_max)
+    out = list(peaks)
+    for _ in range(n):
+        if opts.hsqc_noise_pool:
+            h, c = rng.choice(opts.hsqc_noise_pool)[:2]
+        else:
+            h, c = rng.uniform(0.0, 10.0), rng.uniform(0.0, 200.0)
+        out.append([h, c])
+    return out
 
 
 def featurize(
@@ -207,7 +231,8 @@ def featurize(
 
     # HSQC: [H/10, C/200]
     if rec.hsqc is not None and not blanked():
-        pts = [[p[0] / 10.0, p[1] / 200.0] for p in rec.hsqc]
+        hsqc_peaks = pollute_hsqc(rec.hsqc, opts, rng)
+        pts = [[p[0] / 10.0, p[1] / 200.0] for p in hsqc_peaks]
         out["src_hsqc"], out["mask_hsqc"] = _pad_points(pts, P, 2)
         active.append("HSQC")
     else:

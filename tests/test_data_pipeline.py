@@ -130,3 +130,26 @@ def test_bin_ir():
     b2 = dp.bin_ir(raw2, 1000)
     assert b2.shape == (1000,)
     assert b2[-1] > b2[0]
+
+
+def test_hsqc_noise_pollution():
+    """pollute_hsqc injects up to hsqc_noise_max extra peaks (reference
+    pollute_HSQC_data, dataloaders_pl_v15_4.py:117-140)."""
+    import random
+
+    from multimodalspectraltransformer_tpu.data.pipeline import (
+        FeaturizeOptions, pollute_hsqc,
+    )
+
+    peaks = [[2.0, 25.0], [7.1, 120.0]]
+    rng = random.Random(0)
+    # disabled -> identity
+    assert pollute_hsqc(peaks, FeaturizeOptions(), rng) == peaks
+    opts = FeaturizeOptions(hsqc_noise_max=5)
+    outs = [len(pollute_hsqc(peaks, opts, random.Random(s))) for s in range(20)]
+    assert min(outs) >= 2 and max(outs) <= 7 and max(outs) > 2
+    # pool-based noise draws from the pool
+    opts2 = FeaturizeOptions(hsqc_noise_max=3, hsqc_noise_pool=[(1.5, 30.0)])
+    out = pollute_hsqc(peaks, opts2, random.Random(3))
+    for p in out[2:]:
+        assert p == [1.5, 30.0]
