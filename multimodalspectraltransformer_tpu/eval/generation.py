@@ -50,18 +50,18 @@ def _filter_block(
     seen: set,
     out: CandidateSet,
     want: int,
+    canons: Optional[list] = None,  # precomputed canonical SMILES per row
 ) -> None:
     """Host-side validity/canonicalize/dedup/MW filter of one device block
     (reference `:1035-1083` filter_probs_and_valid_smiles_and_canonicolize,
-    filter_for_MW_2, deduplicate_smiles)."""
-    for row, prow in zip(tokens, probs):
+    filter_for_MW_2, deduplicate_smiles). Canonicalization runs through the
+    batched native C++ kernel when `canons` is not supplied."""
+    if canons is None:
+        canons = chem.batch_canonicalize([vocab.ids_to_smiles(r) for r in tokens])
+    for row, prow, can in zip(tokens, probs, canons):
         if len(out.smiles) >= want:
             return
-        smi = vocab.ids_to_smiles(row)
         out.n_sampled += 1
-        if not smi:
-            continue
-        can = chem.canonicalize(smi)
         if can is None or can in seen:
             continue
         if target_mw is not None:
@@ -111,6 +111,59 @@ def generate_candidates(
             break
         temp += dcfg.temp_increment
     return out
+
+
+def generate_candidates_batch(
+    params,
+    mcfg: ModelConfig,
+    memory: Array,  # [B, S, D] — many molecules at once
+    memory_kpm: Array,
+    rng: jax.Array,
+    dcfg: DecodeConfig = DecodeConfig(),
+    target_mws: Optional[list] = None,
+    compute_dtype: Optional[str] = None,
+) -> list[CandidateSet]:
+    """Fan-out sampling for a whole batch of molecules in one compiled loop
+    per round (the per-molecule variant leaves the chip idle between tiny
+    calls). Temperature escalates independently per molecule: the lane
+    temperature is a traced [B*F, 1] vector, so every round reuses one
+    executable. Satisfied molecules keep their lanes (results discarded) —
+    static shapes beat ragged scheduling on TPU."""
+    B = memory.shape[0]
+    F = dcfg.fanout
+    outs = [CandidateSet() for _ in range(B)]
+    seens: list[set] = [set() for _ in range(B)]
+    temps = np.full(B, dcfg.temperature, np.float32)
+    want = dcfg.multinom_runs
+    for round_idx in range(dcfg.max_temp_rounds):
+        lane_temp = jnp.repeat(jnp.asarray(temps), F)[:, None]
+        res = samplers.multinomial_decode(
+            params, mcfg, memory, memory_kpm,
+            jax.random.fold_in(rng, round_idx), lane_temp,
+            dcfg.max_len, fanout=F, compute_dtype=compute_dtype,
+        )
+        tokens = np.asarray(res.tokens).reshape(B, F, -1)
+        probs = np.asarray(res.token_probs).reshape(B, F, -1)
+        # one batched canonicalize over every lane (native C++, threaded)
+        flat_smiles = [vocab.ids_to_smiles(r) for r in tokens.reshape(B * F, -1)]
+        canons = chem.batch_canonicalize(flat_smiles)
+        all_done = True
+        for b in range(B):
+            if len(outs[b].smiles) >= want:
+                continue
+            _filter_block(
+                tokens[b], probs[b],
+                (target_mws[b] if target_mws is not None else None) if dcfg.mw_filter else None,
+                dcfg.mw_delta, seens[b], outs[b], want,
+                canons=canons[b * F : (b + 1) * F],
+            )
+            outs[b].rounds_used = round_idx + 1
+            if len(outs[b].smiles) < want:
+                temps[b] += dcfg.temp_increment
+                all_done = False
+        if all_done:
+            break
+    return outs
 
 
 def greedy_smiles(

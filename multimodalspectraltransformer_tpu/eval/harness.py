@@ -145,6 +145,16 @@ def evaluate_molecules(
     # greedy decode for the whole batch at once
     greedy = generation.greedy_smiles(params, mcfg, enc.memory, enc.memory_key_padding_mask, dcfg.max_len)
 
+    # fan-out candidate generation for ALL molecules in one compiled loop
+    # per temperature round (per-molecule calls leave the chip idle)
+    all_cands = None
+    if run_mns:
+        all_cands = generation.generate_candidates_batch(
+            params, mcfg, enc.memory, enc.memory_key_padding_mask,
+            jax.random.fold_in(rng, 1), dcfg,
+            target_mws=[float(f["mw"]) for f in feats],
+        )
+
     results: list[MoleculeResult] = []
     t_start = time.time()
     for i, (rec, f) in enumerate(zip(kept_records, feats)):
@@ -159,12 +169,7 @@ def evaluate_molecules(
         res.greedy_tanimoto = chem.tanimoto(g, target) or 0.0 if res.greedy_valid else 0.0
 
         if run_mns:
-            cand = generation.generate_candidates(
-                params, mcfg,
-                enc.memory[i : i + 1], enc.memory_key_padding_mask[i : i + 1],
-                jax.random.fold_in(rng, i), dcfg,
-                target_mw=float(f["mw"]),
-            )
+            cand = all_cands[i]
             res.sampling_rounds = cand.rounds_used
             for smi, p in zip(cand.smiles, cand.seq_probs):
                 cr = CandidateResult(smiles=smi, seq_prob=p)
