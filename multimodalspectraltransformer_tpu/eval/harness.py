@@ -106,6 +106,35 @@ def _teacher_forced_probs(model, params, trg_tokens, memory, kpm):
     return seq_prob
 
 
+def teacher_forced_analysis(model, params, trg_tokens, memory, kpm) -> dict:
+    """Full per-token probability analysis (reference
+    `predict_prop_correct_max_sequence[_2/_3]`,
+    `validate_generate_MMT_v15_4.py:309-509` / `calculate_corr_max_prob_2`,
+    `mmt_result_test_functions_15_4.py:672-701`): per-token P(correct) and
+    P(argmax), whether argmax == target, and the product/mean aggregates the
+    reference uses as its improvement-cycle convergence signal."""
+    logits = model.apply(
+        {"params": params}, trg_tokens[:, :-1], memory, kpm, True, method="decode"
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    targets = trg_tokens[:, 1:]
+    p_correct = jnp.take_along_axis(probs, targets[..., None], axis=-1)[..., 0]
+    p_max = jnp.max(probs, axis=-1)
+    argmax_is_target = jnp.argmax(probs, axis=-1) == targets
+    live = (targets != vocab.PAD_ID).astype(probs.dtype)
+    n_live = jnp.maximum(jnp.sum(live, axis=1), 1.0)
+    logp_live = jnp.log(jnp.maximum(p_correct, 1e-30)) * live
+    return {
+        "p_correct": p_correct,  # [B, T]
+        "p_max": p_max,  # [B, T]
+        "argmax_is_target": argmax_is_target,  # [B, T]
+        "corr_sampling_prob": jnp.exp(jnp.sum(logp_live, axis=1)),  # product
+        "mean_token_prob": jnp.sum(p_correct * live, axis=1) / n_live,
+        "mean_max_prob": jnp.sum(p_max * live, axis=1) / n_live,
+        "token_accuracy": jnp.sum(argmax_is_target * live, axis=1) / n_live,
+    }
+
+
 def evaluate_molecules(
     records: Sequence[dp.SampleRecord],
     params: Any,

@@ -117,3 +117,26 @@ def test_mf_filter_in_ranking():
         res.candidates.append(harness.CandidateResult(smiles=smi, hsqc_error=h, cosy_error=h))
     ranked = harness.rank_candidates_by_error(res, mf_filter=True)
     assert all("CCCCC" != c.smiles for c in ranked)
+
+
+def test_teacher_forced_analysis():
+    """Per-token probability analysis (reference
+    predict_prop_correct_max_sequence variants)."""
+    params, recs = _trained_params()
+    model = mmt.MultimodalTransformer(MCFG)
+    feats = [dp.featurize(r, MCFG) for r in recs[:4]]
+    tb = dp.collate(feats)
+    enc = harness._encode_batch(model, params, jax.tree.map(jnp.asarray, tb.inputs))
+    out = harness.teacher_forced_analysis(
+        model, params, jnp.asarray(tb.trg_tokens), enc.memory, enc.memory_key_padding_mask
+    )
+    B = 4
+    assert out["p_correct"].shape == out["p_max"].shape
+    pc, pm = np.asarray(out["p_correct"]), np.asarray(out["p_max"])
+    assert (pm >= pc - 1e-6).all()  # max prob dominates P(correct)
+    for key in ("corr_sampling_prob", "mean_token_prob", "mean_max_prob", "token_accuracy"):
+        v = np.asarray(out[key])
+        assert v.shape == (B,) and (v >= 0).all() and (v <= 1 + 1e-6).all()
+    # trained-ish model: where argmax == target, p_correct == p_max
+    eq = np.asarray(out["argmax_is_target"])
+    np.testing.assert_allclose(pc[eq], pm[eq], rtol=1e-6)
