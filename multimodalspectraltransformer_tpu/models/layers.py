@@ -112,6 +112,10 @@ class MultiheadAttention(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1)
         # Fully-masked rows produce NaN in torch too; we keep that behavior
         # (the model never feeds fully-masked rows for valid queries).
+        # Explainability capture (reference Q-Former save_attention,
+        # `Qformer_v15_4.py:147-159`): apply with mutable=["intermediates"]
+        # to collect [B, H, Sq, Sk] maps; dead code otherwise.
+        self.sow("intermediates", "attn_weights", attn)
         if self.dropout > 0.0 and not deterministic:
             attn = nn.Dropout(rate=self.dropout)(attn, deterministic=False)
 

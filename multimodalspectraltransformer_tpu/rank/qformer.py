@@ -141,3 +141,23 @@ def blip_loss(text_emb: Array, spec_emb: Array, temperature: float = 1.0):
     """Same soft-target symmetric contrastive objective as CLIP
     (`models_BLIP_v15_4.py:342-351`)."""
     return clip_loss(text_emb, spec_emb, temperature)
+
+
+def attention_maps(variables: Any, qcfg: QFormerConfig, memory: Array,
+                   memory_kpm: Optional[Array] = None) -> dict[str, Any]:
+    """Capture the Q-Former's attention maps for explainability (reference
+    vendored-LAVIS ``save_attention``, `Qformer_v15_4.py:147-159`). Returns
+    {layer_name: {"self": [B,H,Q,Q], "cross": [B,H,Q,S] or None}}."""
+    model = QFormer(qcfg)
+    _, state = model.apply(variables, memory, memory_kpm, True, mutable=["intermediates"])
+    inter = state["intermediates"]
+    out: dict[str, Any] = {}
+    for i in range(qcfg.num_layers):
+        layer = inter.get(f"layers_{i}", {})
+        self_w = layer.get("self_attn", {}).get("attn_weights")
+        cross_w = layer.get("cross_attn", {}).get("attn_weights")
+        out[f"layers_{i}"] = {
+            "self": self_w[0] if self_w else None,
+            "cross": cross_w[0] if cross_w else None,
+        }
+    return out

@@ -55,3 +55,27 @@ def test_spectrum_embedding_depends_on_memory():
     mem_mod = memory.at[0, 16, :].set(99.0)  # masked position for row 0
     s3 = model.apply(variables, mem_mod, kpm, True, method="embed_spectrum")
     np.testing.assert_allclose(np.asarray(s1[0]), np.asarray(s3[0]), atol=1e-5)
+
+
+def test_attention_map_capture():
+    """Q-Former explainability: attention maps via mutable intermediates
+    (reference save_attention, Qformer_v15_4.py:147-159)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalspectraltransformer_tpu.rank import qformer as qf
+
+    cfg = qf.QFormerConfig(hidden=32, num_heads=2, ffn_dim=64, num_layers=2,
+                           num_queries=4, encoder_width=32, projection_dim=16)
+    model = qf.QFormer(cfg)
+    memory = jnp.ones((2, 6, 32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, memory, None, True)
+    maps = qf.attention_maps(variables, cfg, memory)
+    assert set(maps) == {"layers_0", "layers_1"}
+    # layer 0 has cross-attention (frequency 2); layer 1 does not
+    assert maps["layers_0"]["cross"] is not None
+    assert maps["layers_0"]["cross"].shape == (2, 2, 4, 6)
+    assert maps["layers_1"]["cross"] is None
+    s = np.asarray(maps["layers_0"]["cross"])
+    np.testing.assert_allclose(s.sum(-1), 1.0, rtol=1e-5)  # rows are softmaxed
