@@ -154,3 +154,28 @@ def test_randomize_produces_variants():
     rng = random.Random(2)
     variants = {api.randomize("CC(C)Cc1ccc(C(C)C(=O)O)cc1", rng) for _ in range(20)}
     assert len(variants) > 3
+
+
+def test_dataset_cleaning_filters():
+    """filter_invalid_criteria / clean_dataset semantics
+    (execution_function_v15_4.py:224-310)."""
+    from multimodalspectraltransformer_tpu.chem import cleaning
+
+    # phosphorus / silicon / bare boron / charges filtered
+    assert cleaning.clean_smiles("CP(C)C") is None
+    assert cleaning.clean_smiles("C[Si](C)C") is None
+    assert cleaning.clean_smiles("B(O)O") is None
+    assert cleaning.clean_smiles("C[N+](C)(C)C") is None
+    assert cleaning.clean_smiles("[NH4+]") is None
+    # bromine survives the bare-B regex
+    assert cleaning.clean_smiles("CBr") is not None
+    # stereo stripped
+    out = cleaning.clean_smiles("C[C@@H](N)C(=O)O")
+    assert out is not None and "@" not in out
+    out2 = cleaning.clean_smiles("C/C=C/C")
+    assert out2 is not None and "/" not in out2
+    # invalid in, None out
+    assert cleaning.clean_smiles("xx((") is None
+    # batch keeps order, drops failures
+    batch = cleaning.clean_smiles_list(["CCO", "CP(C)C", "c1ccccc1"])
+    assert batch == [cleaning.clean_smiles("CCO"), cleaning.clean_smiles("c1ccccc1")]
