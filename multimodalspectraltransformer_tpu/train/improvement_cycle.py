@@ -72,7 +72,12 @@ def run_improvement_cycle(
         aug_smiles: list[str] = []
         for rec in target_records:
             aug_smiles.extend(generate_neighbors(rec.smiles, icfg.molgen))
-        # 2) filter vs validation set (reference mrtf.filter_smiles)
+        # 2) dataset-cleaning criteria (reference filter_invalid_criteria:
+        # drop P/Si/bare-B/charged molecules, strip stereo) then filter vs
+        # validation set (reference mrtf.filter_smiles)
+        from ..chem.cleaning import clean_smiles_list
+
+        aug_smiles = clean_smiles_list(aug_smiles)
         aug_smiles = [s for s in aug_smiles if s not in val_canon]
         if icfg.include_targets_in_training:
             aug_smiles.extend(r.smiles for r in target_records)
