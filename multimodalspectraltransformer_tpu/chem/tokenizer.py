@@ -111,3 +111,14 @@ def encode_mf_framed(formula: str, length: int = 64) -> tuple[np.ndarray, np.nda
 
 def decode_smiles(ids) -> str:
     return vocab.ids_to_smiles(ids)
+
+
+def one_hot_smiles(smiles: str, max_len: int = 64) -> "np.ndarray":
+    """Legacy one-hot SMILES encoding [max_len, vocab] (reference
+    SmilesEnumerator.transform, `dataloaders_pl_v15_4.py:31-114` — kept for
+    compatibility with one-hot-consuming tooling; the model itself consumes
+    token ids)."""
+    ids, _ = encode_smiles_framed(smiles, max_len)
+    out = np.zeros((max_len, vocab.SMILES_VOCAB_SIZE), dtype=np.float32)
+    out[np.arange(max_len), np.asarray(ids)] = 1.0
+    return out

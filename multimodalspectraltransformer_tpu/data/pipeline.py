@@ -310,10 +310,22 @@ class Loader:
     # batches for contrastive training; data/samplers.py, reference
     # `clip_functions_v15_4.py:117-187`)
     order_strategy: str = "shuffle"
+    # cache featurized samples across epochs when featurization is
+    # deterministic (no augmentation): host featurize (~15 ms/sample of
+    # chemistry) otherwise dominates small-model training throughput
+    cache_features: bool = True
+    _feature_cache: dict = field(default_factory=dict, repr=False)
 
     def __len__(self) -> int:
         per_host = len(self.records) // self.host_count
         return per_host // self.batch_size
+
+    def _stochastic(self) -> bool:
+        return (
+            self.opts.blank_percentage > 0
+            or self.opts.randomize_smiles
+            or self.opts.hsqc_noise_max > 0
+        )
 
     def epoch(self, epoch: int) -> Iterator[TrainBatch]:
         from . import samplers
@@ -324,9 +336,16 @@ class Loader:
         )
         order = order[self.host_id :: self.host_count]
         rng = random.Random(self.seed * 1_000_003 + epoch * 1009 + self.host_id)
+        use_cache = self.cache_features and not self._stochastic()
         buf: list[dict] = []
         for idx in order:
-            feat = featurize(self.records[int(idx)], self.mcfg, self.opts, rng)
+            idx = int(idx)
+            if use_cache and idx in self._feature_cache:
+                feat = self._feature_cache[idx]
+            else:
+                feat = featurize(self.records[idx], self.mcfg, self.opts, rng)
+                if use_cache:
+                    self._feature_cache[idx] = feat
             if feat is None:
                 continue
             buf.append(feat)

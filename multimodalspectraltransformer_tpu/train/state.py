@@ -13,49 +13,75 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
-from optax import contrib as optax_contrib
 
 from ..utils.config import TrainConfig
 
 Array = jax.Array
 
+# torch ReduceLROnPlateau default relative improvement threshold
+_PLATEAU_REL_THRESHOLD = 1e-4
+
+
+class PlateauState(NamedTuple):
+    """First-party ReduceLROnPlateau state: three scalars.
+
+    optax.contrib.reduce_on_plateau measured 791 ms/step on the v5e remote
+    backend (vs 14 ms for adamw itself); this equivalent costs one
+    fused multiply per parameter."""
+
+    best: Array  # lowest monitored loss seen
+    bad_count: Array  # epochs/steps without sufficient improvement
+    scale: Array  # cumulative LR multiplier
+
 
 class TrainState(NamedTuple):
     step: Array
     params: Any
-    opt_state: Any
+    opt_state: Any  # (adamw state, PlateauState)
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformationExtraArgs:
-    tx = optax.adamw(
+def _base_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(
         learning_rate=cfg.learning_rate,
         b1=0.9,
         b2=0.999,
         eps=1e-8,
         weight_decay=cfg.weight_decay,
     )
-    # plateau LR reduction equivalent to torch ReduceLROnPlateau; driven by
-    # the `value` extra-arg (the monitored loss) passed at update time.
-    plateau = optax_contrib.reduce_on_plateau(
-        factor=cfg.plateau_factor,
-        patience=cfg.plateau_patience,
-        cooldown=0,
-        accumulation_size=1,
-    )
-    return optax.chain(tx, plateau)
+
+
+def plateau_step(ps: PlateauState, loss: Array, factor: float, patience: int) -> PlateauState:
+    """One ReduceLROnPlateau update (mode=min, rel threshold 1e-4, cooldown 0
+    — the torch semantics the reference uses, `models_MMT_v15_4.py:1213-1220`)."""
+    improved = loss < ps.best * (1.0 - _PLATEAU_REL_THRESHOLD)
+    best = jnp.minimum(ps.best, loss)
+    bad = jnp.where(improved, 0, ps.bad_count + 1)
+    trigger = bad > patience
+    scale = jnp.where(trigger, ps.scale * factor, ps.scale)
+    bad = jnp.where(trigger, 0, bad)
+    return PlateauState(best, bad, scale)
 
 
 def create_state(cfg: TrainConfig, params: Any) -> TrainState:
-    tx = make_optimizer(cfg)
-    return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    tx = _base_optimizer(cfg)
+    plateau = PlateauState(
+        jnp.asarray(jnp.inf, jnp.float32),
+        jnp.zeros((), jnp.int32),
+        jnp.ones((), jnp.float32),
+    )
+    return TrainState(jnp.zeros((), jnp.int32), params, (tx.init(params), plateau))
 
 
 def apply_grads(
     cfg: TrainConfig, state: TrainState, grads: Any, monitored_loss: Array
 ) -> TrainState:
-    tx = make_optimizer(cfg)
-    updates, new_opt = tx.update(
-        grads, state.opt_state, state.params, value=monitored_loss
+    tx = _base_optimizer(cfg)
+    adam_state, plateau = state.opt_state
+    updates, new_adam = tx.update(grads, adam_state, state.params)
+    plateau = plateau_step(
+        plateau, monitored_loss.astype(jnp.float32), cfg.plateau_factor, cfg.plateau_patience
     )
+    scale = plateau.scale.astype(jax.tree.leaves(updates)[0].dtype)
+    updates = jax.tree.map(lambda u: u * scale, updates)
     new_params = optax.apply_updates(state.params, updates)
-    return TrainState(state.step + 1, new_params, new_opt)
+    return TrainState(state.step + 1, new_params, (new_adam, plateau))

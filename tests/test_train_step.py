@@ -127,3 +127,22 @@ def test_tensor_parallel_shardings_cover_ffn():
     # stacked modality encoders get a right-aligned spec (leading axis free)
     spec_stack = sh["modality_encoders"]["layers_0"]["self_attn"]["in_proj_weight"].spec
     assert len(spec_stack) == 3 and spec_stack[0] is None
+
+
+def test_plateau_schedule_reduces_lr_scale():
+    """First-party ReduceLROnPlateau: scale halves after `patience`+1
+    non-improving steps (torch semantics, models_MMT_v15_4.py:1213-1220)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalspectraltransformer_tpu.train.state import PlateauState, plateau_step
+
+    ps = PlateauState(jnp.asarray(jnp.inf), jnp.asarray(0), jnp.asarray(1.0))
+    ps = plateau_step(ps, jnp.asarray(1.0), 0.5, 2)  # improvement (inf -> 1.0)
+    assert float(ps.scale) == 1.0 and int(ps.bad_count) == 0
+    for k in range(3):  # 3 flat steps: bad_count 1, 2, 3>patience -> halve
+        ps = plateau_step(ps, jnp.asarray(1.0), 0.5, 2)
+    assert float(ps.scale) == 0.5 and int(ps.bad_count) == 0
+    # a real improvement resets the counter and keeps the reduced scale
+    ps = plateau_step(ps, jnp.asarray(0.5), 0.5, 2)
+    assert float(ps.scale) == 0.5 and float(ps.best) == 0.5
