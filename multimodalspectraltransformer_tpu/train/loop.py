@@ -79,6 +79,8 @@ def run_training(
     seed: int = 0,
     gen_metrics_every: int = 0,  # in-training generation metrics cadence
     max_steps: int = 0,  # 0 = run num_epochs
+    log_every: int = 1,  # metrics materialization cadence: every float()
+    # forces a device sync (a full RPC round trip on remote backends)
 ) -> TrainResult:
     """Train the MMT. Single- or multi-device (pass a mesh for DP/TP)."""
     model = mmt.MultimodalTransformer(cfg.model)
@@ -122,16 +124,17 @@ def run_training(
             for batch in train_loader.epoch(epoch):
                 b = put_batch(batch)
                 state, m = train_step(model, cfg, state, b, rng)
-                step_count = int(state.step)
-                train_loss = float(m.loss)
-                logger.log({
-                    "step": step_count, "epoch": epoch,
-                    "train_loss": train_loss,
-                    "SMI_loss": float(m.smi_loss),
-                    "FP_loss": float(m.fp_loss),
-                    "token_accuracy": float(m.token_accuracy),
-                    "grad_norm": float(m.grad_norm),
-                })
+                step_count += 1
+                if step_count % log_every == 0:
+                    train_loss = float(m.loss)
+                    logger.log({
+                        "step": step_count, "epoch": epoch,
+                        "train_loss": train_loss,
+                        "SMI_loss": float(m.smi_loss),
+                        "FP_loss": float(m.fp_loss),
+                        "token_accuracy": float(m.token_accuracy),
+                        "grad_norm": float(m.grad_norm),
+                    })
                 if manager is not None:
                     manager.save(state, metrics={"loss": train_loss})
                 if gen_metrics_every and step_count % gen_metrics_every == 0:
