@@ -59,6 +59,31 @@ class MetricsLogger:
             self._f.close()
 
 
+def _prefetch(iterator, put_batch, depth: int = 2):
+    """Device-put batches `depth` ahead on a worker thread so host->device
+    transfer (slow on remote backends) overlaps the previous step."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(put_batch(item))
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        yield item
+
+
 @dataclass
 class TrainResult:
     state: TrainState
@@ -121,8 +146,7 @@ def run_training(
         for epoch in range(cfg.train.num_epochs):
             if done:
                 break
-            for batch in train_loader.epoch(epoch):
-                b = put_batch(batch)
+            for b in _prefetch(train_loader.epoch(epoch), put_batch):
                 state, m = train_step(model, cfg, state, b, rng)
                 step_count += 1
                 if step_count % log_every == 0:
