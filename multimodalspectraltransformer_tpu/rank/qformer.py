@@ -161,3 +161,61 @@ def attention_maps(variables: Any, qcfg: QFormerConfig, memory: Array,
             "cross": cross_w[0] if cross_w else None,
         }
     return out
+
+
+def from_hf_bert(qcfg: QFormerConfig, hf_state: dict) -> dict:
+    """Map a transformers BertModel state_dict onto QFormer layer params
+    (the reference seeds its Q-Former from bert-base-uncased,
+    `models_BLIP_v15_4.py:526-540`). Self-attention + FFN + norms are
+    converted; cross-attention blocks have no BERT counterpart and keep
+    their fresh initialization — merge the returned subtree over
+    ``variables["params"]``."""
+    import numpy as np
+
+    def t(key):
+        v = hf_state[key]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, np.float32)
+
+    layers: dict = {}
+    for i in range(qcfg.num_layers):
+        pre = f"encoder.layer.{i}"
+        qw, kw, vw = (t(f"{pre}.attention.self.{x}.weight") for x in ("query", "key", "value"))
+        qb, kb, vb = (t(f"{pre}.attention.self.{x}.bias") for x in ("query", "key", "value"))
+        layers[f"layers_{i}"] = {
+            "self_attn": {
+                "in_proj_weight": np.concatenate([qw, kw, vw], axis=0),
+                "in_proj_bias": np.concatenate([qb, kb, vb], axis=0),
+                "out_proj_weight": t(f"{pre}.attention.output.dense.weight"),
+                "out_proj_bias": t(f"{pre}.attention.output.dense.bias"),
+            },
+            "norm1": {
+                "scale": t(f"{pre}.attention.output.LayerNorm.weight"),
+                "bias": t(f"{pre}.attention.output.LayerNorm.bias"),
+            },
+            "linear1": {
+                "kernel": t(f"{pre}.intermediate.dense.weight").T,
+                "bias": t(f"{pre}.intermediate.dense.bias"),
+            },
+            "linear2": {
+                "kernel": t(f"{pre}.output.dense.weight").T,
+                "bias": t(f"{pre}.output.dense.bias"),
+            },
+            "norm2": {
+                "scale": t(f"{pre}.output.LayerNorm.weight"),
+                "bias": t(f"{pre}.output.LayerNorm.bias"),
+            },
+        }
+    return layers
+
+
+def merge_params(base: dict, overlay: dict) -> dict:
+    """Recursively overlay converted params onto an initialized tree."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_params(out[k], v)
+        else:
+            out[k] = v
+    return out

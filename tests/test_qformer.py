@@ -79,3 +79,33 @@ def test_attention_map_capture():
     assert maps["layers_1"]["cross"] is None
     s = np.asarray(maps["layers_0"]["cross"])
     np.testing.assert_allclose(s.sum(-1), 1.0, rtol=1e-5)  # rows are softmaxed
+
+
+def test_from_hf_bert_conversion():
+    """bert-base-style weights load into the Q-Former's self-attn/FFN/norms
+    and change its output (reference init_Qformer from bert-base-uncased)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from transformers import BertConfig, BertModel
+
+    from multimodalspectraltransformer_tpu.rank import qformer as qf
+
+    qcfg = qf.QFormerConfig(hidden=32, num_heads=2, ffn_dim=64, num_layers=2,
+                            num_queries=4, encoder_width=32, projection_dim=16)
+    bert = BertModel(BertConfig(hidden_size=32, num_hidden_layers=2,
+                                num_attention_heads=2, intermediate_size=64,
+                                vocab_size=50, max_position_embeddings=16))
+    overlay = qf.from_hf_bert(qcfg, bert.state_dict())
+    model = qf.QFormer(qcfg)
+    memory = jnp.ones((2, 5, 32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, memory, None, True)
+    before = model.apply(variables, memory, None, True)
+    merged = {"params": qf.merge_params(dict(variables["params"]), overlay)}
+    after = model.apply(merged, memory, None, True)
+    assert after.shape == before.shape
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # converted in_proj matches the concatenated q/k/v torch weights
+    w = np.asarray(merged["params"]["layers_0"]["self_attn"]["in_proj_weight"])
+    qw = bert.state_dict()["encoder.layer.0.attention.self.query.weight"].numpy()
+    np.testing.assert_allclose(w[:32], qw)
