@@ -12,7 +12,7 @@ identical molecules (any atom order) produce identical fingerprints.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 

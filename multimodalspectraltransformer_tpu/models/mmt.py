@@ -34,7 +34,6 @@ semantics (`dataloaders_pl_v15_4.py:468-476`).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple, Optional
 
 import jax

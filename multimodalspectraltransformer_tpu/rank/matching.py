@@ -22,7 +22,6 @@ Implementation notes vs the reference:
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment

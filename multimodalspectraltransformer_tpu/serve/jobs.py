@@ -11,7 +11,6 @@ until the job is dropped.
 
 from __future__ import annotations
 
-import itertools
 import threading
 import time
 import traceback

@@ -12,7 +12,6 @@ dense form is both faster on TPU and trivially batchable.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
