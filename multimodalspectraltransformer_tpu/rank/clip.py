@@ -226,3 +226,42 @@ def from_hf_roberta(cfg: CLIPConfig, hf_state: dict) -> dict:
         }
     p["encoder"] = enc
     return p
+
+
+def from_torch_clip(cfg: CLIPConfig, sd: dict) -> dict:
+    """Map a saved reference CLIPModel state_dict onto CLIPRanker params.
+
+    Reference structure (`models_CLIP_v15_4.py:165-258`): the text tower is
+    ChembertaFingerprint — ``CB_model.chemberta`` (RobertaModel, incl.
+    pooler) followed by ``CB_model.LL1`` Linear(768 -> CB_embedding); the
+    spectrum tower consumes the MMT fingerprint externally; two
+    ProjectionHeads ``CB_projection``/``MT_projection``."""
+
+    def t(key):
+        v = sd[key]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, np.float32)
+
+    def head(prefix: str) -> dict:
+        return {
+            "projection": {"kernel": t(f"{prefix}.projection.weight").T,
+                           "bias": t(f"{prefix}.projection.bias")},
+            "fc": {"kernel": t(f"{prefix}.fc.weight").T, "bias": t(f"{prefix}.fc.bias")},
+            "layer_norm": {"scale": t(f"{prefix}.layer_norm.weight"),
+                           "bias": t(f"{prefix}.layer_norm.bias")},
+        }
+
+    # strip the CB_model.chemberta. prefix and reuse the HF Roberta mapping
+    roberta_sd = {
+        k[len("CB_model.chemberta."):]: v
+        for k, v in sd.items()
+        if k.startswith("CB_model.chemberta.")
+    }
+    params: dict = {
+        "text_encoder": from_hf_roberta(cfg, roberta_sd),
+        "LL1": {"kernel": t("CB_model.LL1.weight").T, "bias": t("CB_model.LL1.bias")},
+        "CB_projection": head("CB_projection"),
+        "MT_projection": head("MT_projection"),
+    }
+    return params

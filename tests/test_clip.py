@@ -112,3 +112,60 @@ def test_score_candidates():
     assert out.losses.shape == (C,)
     assert out.dot_similarity.shape == (C,)
     assert np.isfinite(np.asarray(out.dot_similarity)).all()
+
+
+def test_from_torch_clip_conversion():
+    """Reference CLIPModel checkpoint layout loads into CLIPRanker and the
+    converted projection heads reproduce torch outputs."""
+    import numpy as np
+    import torch
+    import torch.nn as torch_nn
+
+    from multimodalspectraltransformer_tpu.rank import clip as clip_mod
+
+    cfg = clip_mod.CLIPConfig(text_layers=1, text_heads=2, text_hidden=16,
+                              text_ffn=32, cb_embedding=8, projection_dim=4,
+                              text_vocab_size=20, text_max_len=12, dropout=0.0)
+
+    # build a torch state dict with the reference's key layout
+    class TorchHead(torch_nn.Module):
+        def __init__(self, emb, proj):
+            super().__init__()
+            self.projection = torch_nn.Linear(emb, proj)
+            self.fc = torch_nn.Linear(proj, proj)
+            self.layer_norm = torch_nn.LayerNorm(proj)
+
+        def forward(self, x):
+            p = self.projection(x)
+            y = self.fc(torch_nn.functional.gelu(p))
+            return self.layer_norm(y + p)
+
+    torch.manual_seed(0)
+    cb_head = TorchHead(8, 4)
+    mt_head = TorchHead(512, 4)
+    sd = {}
+    for name, mod in (("CB_projection", cb_head), ("MT_projection", mt_head)):
+        for k, v in mod.state_dict().items():
+            sd[f"{name}.{k}"] = v
+    # minimal roberta + LL1 keys
+    from transformers import RobertaConfig, RobertaModel
+
+    rb = RobertaModel(RobertaConfig(hidden_size=16, num_hidden_layers=1,
+                                    num_attention_heads=2, intermediate_size=32,
+                                    vocab_size=20, max_position_embeddings=14))
+    for k, v in rb.state_dict().items():
+        sd[f"CB_model.chemberta.{k}"] = v
+    ll1 = torch_nn.Linear(16, 8)
+    sd["CB_model.LL1.weight"] = ll1.weight
+    sd["CB_model.LL1.bias"] = ll1.bias
+
+    params = clip_mod.from_torch_clip(cfg, sd)
+
+    # converted MT head == torch head on a random spectrum fingerprint
+    import jax
+
+    x = np.random.RandomState(0).randn(3, 512).astype(np.float32)
+    model = clip_mod.ProjectionHead(cfg.projection_dim, dropout=0.0)
+    out = model.apply({"params": params["MT_projection"]}, x, True)
+    ref = mt_head(torch.tensor(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
