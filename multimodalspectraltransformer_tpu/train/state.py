@@ -72,6 +72,23 @@ def create_state(cfg: TrainConfig, params: Any) -> TrainState:
     return TrainState(jnp.zeros((), jnp.int32), params, (tx.init(params), plateau))
 
 
+def _trainable_mask(cfg: TrainConfig, params: Any):
+    """Per-leaf 0/1 mask from cfg.trainable_only path substrings. The
+    reference's use_real_data mode freezes everything except
+    real_data_linear (`MT_functions_v15_4.py:124-133`) — that is
+    ``trainable_only=("real_data_linear",)``. Empty tuple = all trainable."""
+    if not cfg.trainable_only:
+        return None
+
+    def path_str(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _leaf: 1.0 if any(s in path_str(kp) for s in cfg.trainable_only) else 0.0,
+        params,
+    )
+
+
 def apply_grads(
     cfg: TrainConfig, state: TrainState, grads: Any, monitored_loss: Array
 ) -> TrainState:
@@ -83,5 +100,10 @@ def apply_grads(
     )
     scale = plateau.scale.astype(jax.tree.leaves(updates)[0].dtype)
     updates = jax.tree.map(lambda u: u * scale, updates)
+    mask = _trainable_mask(cfg, state.params)
+    if mask is not None:
+        # zero the UPDATE (not just the grad): adamw's weight decay would
+        # otherwise still move frozen parameters
+        updates = jax.tree.map(lambda u, m: u * m, updates, mask)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(state.step + 1, new_params, (new_adam, plateau))

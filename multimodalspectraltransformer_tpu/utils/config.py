@@ -234,6 +234,11 @@ class TrainConfig:
     save_interval_steps: int = 1000
     keep_checkpoints: int = 3
 
+    # real-data fine-tuning freeze (reference use_real_data,
+    # `MT_functions_v15_4.py:124-133`): path substrings of the ONLY
+    # trainable params; () = train everything
+    trainable_only: tuple = ()
+
     # mesh axes
     data_parallel: int = -1  # -1 = all devices
     model_parallel: int = 1

@@ -146,3 +146,44 @@ def test_plateau_schedule_reduces_lr_scale():
     # a real improvement resets the counter and keeps the reduced scale
     ps = plateau_step(ps, jnp.asarray(0.5), 0.5, 2)
     assert float(ps.scale) == 0.5 and float(ps.best) == 0.5
+
+
+def test_trainable_only_freeze():
+    """use_real_data freeze semantics: only real_data_linear moves."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalspectraltransformer_tpu.data import pipeline as dp
+    from multimodalspectraltransformer_tpu.models import mmt as mmt_mod
+    from multimodalspectraltransformer_tpu.train import create_state, train_step
+    from multimodalspectraltransformer_tpu.utils.config import MMTConfig, ModelConfig, TrainConfig
+
+    # use_real_data activates the blend path so gradients reach
+    # real_data_linear (reference fine-tuning mode)
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64,
+                       use_real_data=True)
+    cfg = MMTConfig(model=mcfg, train=TrainConfig(learning_rate=1e-2,
+                                                  trainable_only=("real_data_linear",)))
+    records = dp.synthetic_dataset(4, seed=0)
+    batch = next(iter(dp.Loader(records, mcfg, batch_size=4).epoch(0)))
+    model = mmt_mod.MultimodalTransformer(mcfg)
+    params = mmt_mod.init_params(mcfg, jax.random.PRNGKey(0))
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    state = create_state(cfg.train, params)
+    b = jax.tree.map(jnp.asarray, batch)
+    for _ in range(2):
+        state, m = train_step(model, cfg, state, b, jax.random.PRNGKey(1))
+    after = jax.tree.map(np.asarray, state.params)
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = jax.tree_util.tree_flatten_with_path(after)[0]
+    moved = unmoved = 0
+    for (kp, vb), (_, va) in zip(flat_b, flat_a):
+        path = "/".join(str(getattr(k, "key", k)) for k in kp)
+        if "real_data_linear" in path:
+            if not np.allclose(vb, va):
+                moved += 1  # at least the kernel must move
+        else:
+            np.testing.assert_array_equal(vb, va, err_msg=path)
+            unmoved += 1
+    assert moved >= 1 and unmoved > 10
