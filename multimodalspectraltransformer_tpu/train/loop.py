@@ -33,7 +33,7 @@ from ..parallel import batch_sharding, make_mesh, param_shardings
 from ..utils import vocab
 from ..utils.config import MMTConfig
 from . import checkpoint as ckpt_mod
-from .state import TrainState, create_state
+from .state import TrainState, create_state, update_plateau
 from .step import StepMetrics, eval_step, train_step
 
 
@@ -166,6 +166,10 @@ def run_training(
                 if max_steps and step_count >= max_steps:
                     done = True
                     break
+
+            # epoch-cadence LR plateau step (torch scheduler.step(loss))
+            if np.isfinite(train_loss):
+                state = update_plateau(cfg.train, state, train_loss)
 
             if val_loader is not None:
                 losses = []

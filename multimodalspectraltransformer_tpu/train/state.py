@@ -92,12 +92,14 @@ def _trainable_mask(cfg: TrainConfig, params: Any):
 def apply_grads(
     cfg: TrainConfig, state: TrainState, grads: Any, monitored_loss: Array
 ) -> TrainState:
+    """One optimizer application. The plateau SCALE is consumed here; the
+    plateau STATE only advances at epoch boundaries via ``update_plateau``
+    (torch ReduceLROnPlateau is stepped once per epoch — advancing it per
+    batch collapses the LR within a few hundred steps)."""
+    del monitored_loss  # consumed by update_plateau at epoch cadence
     tx = _base_optimizer(cfg)
     adam_state, plateau = state.opt_state
     updates, new_adam = tx.update(grads, adam_state, state.params)
-    plateau = plateau_step(
-        plateau, monitored_loss.astype(jnp.float32), cfg.plateau_factor, cfg.plateau_patience
-    )
     scale = plateau.scale.astype(jax.tree.leaves(updates)[0].dtype)
     updates = jax.tree.map(lambda u: u * scale, updates)
     mask = _trainable_mask(cfg, state.params)
@@ -107,3 +109,13 @@ def apply_grads(
         updates = jax.tree.map(lambda u, m: u * m, updates, mask)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(state.step + 1, new_params, (new_adam, plateau))
+
+
+def update_plateau(cfg: TrainConfig, state: TrainState, epoch_loss) -> TrainState:
+    """Advance the ReduceLROnPlateau state once (call at epoch end with the
+    monitored loss, like torch's scheduler.step(loss))."""
+    adam_state, plateau = state.opt_state
+    plateau = plateau_step(
+        plateau, jnp.asarray(epoch_loss, jnp.float32), cfg.plateau_factor, cfg.plateau_patience
+    )
+    return TrainState(state.step, state.params, (adam_state, plateau))

@@ -131,7 +131,8 @@ def test_tensor_parallel_shardings_cover_ffn():
 
 def test_plateau_schedule_reduces_lr_scale():
     """First-party ReduceLROnPlateau: scale halves after `patience`+1
-    non-improving steps (torch semantics, models_MMT_v15_4.py:1213-1220)."""
+    non-improving epoch-cadence steps (torch semantics,
+    models_MMT_v15_4.py:1213-1220; advanced once per epoch by run_training)."""
     import jax.numpy as jnp
     import numpy as np
 
