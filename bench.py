@@ -22,6 +22,12 @@ import os
 import time
 
 import jax
+
+# persistent compilation cache: the driver re-runs this cold every round;
+# cached executables cut the cold start from minutes to seconds
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from multimodalspectraltransformer_tpu.decode import samplers
@@ -62,7 +68,8 @@ def main_e2e() -> None:
         {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
         jnp.asarray(toks), jnp.asarray(mask), jnp.zeros((1, 512)), True,
     )
-    dcfg = DecodeConfig(max_len=64, fanout=128, multinom_runs=10, max_temp_rounds=5)
+    dcfg = DecodeConfig(max_len=64, fanout=128, multinom_runs=10, max_temp_rounds=5,
+                        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
 
     # warmup: compile every stage once before timing; CLIP runs on a fixed
     # candidate block so one executable serves every molecule.

@@ -96,6 +96,7 @@ def generate_candidates(
             jnp.asarray(temp, jnp.float32),
             dcfg.max_len,
             fanout=dcfg.fanout,
+            compute_dtype=dcfg.compute_dtype,
         )
         _filter_block(
             np.asarray(res.tokens),
@@ -125,25 +126,45 @@ def generate_candidates_batch(
 ) -> list[CandidateSet]:
     """Fan-out sampling for a whole batch of molecules in one compiled loop
     per round (the per-molecule variant leaves the chip idle between tiny
-    calls). Temperature escalates independently per molecule: the lane
-    temperature is a traced [B*F, 1] vector, so every round reuses one
-    executable. Satisfied molecules keep their lanes (results discarded) —
-    static shapes beat ragged scheduling on TPU."""
+    calls). Satisfied molecules keep their lanes (results discarded) —
+    static shapes beat ragged scheduling on TPU.
+
+    Pipelined rounds (``dcfg.lookahead``): the round-k temperature is
+    data-INDEPENDENT — the reference escalates per molecule, but a
+    molecule's round-k results are only *consumed* if it was unsatisfied in
+    every earlier round, in which case its temperature is exactly
+    ``base + k*increment``; satisfied molecules' lanes decode on but their
+    results are discarded before use. So round k+1 can be dispatched to the
+    device BEFORE round k's host-side chemistry (canonicalize/MW/dedup)
+    runs, overlapping device decode with host filtering at identical
+    consumed results. On early exit at round k the already-dispatched round
+    k+1 is simply never fetched (bounded waste: one round)."""
     B = memory.shape[0]
     F = dcfg.fanout
     outs = [CandidateSet() for _ in range(B)]
     seens: list[set] = [set() for _ in range(B)]
-    temps = np.full(B, dcfg.temperature, np.float32)
     want = dcfg.multinom_runs
-    for round_idx in range(dcfg.max_temp_rounds):
-        lane_temp = jnp.repeat(jnp.asarray(temps), F)[:, None]
-        res = samplers.multinomial_decode(
+    compute_dtype = compute_dtype or dcfg.compute_dtype
+
+    def dispatch(round_idx: int):
+        # one lane-temp VECTOR (not scalar) so the executable is shared with
+        # the non-pipelined per-molecule-escalation variant below
+        t = dcfg.temperature + round_idx * dcfg.temp_increment
+        lane_temp = jnp.full((B * F, 1), t, jnp.float32)
+        return samplers.multinomial_decode(
             params, mcfg, memory, memory_kpm,
             jax.random.fold_in(rng, round_idx), lane_temp,
             dcfg.max_len, fanout=F, compute_dtype=compute_dtype,
         )
-        tokens = np.asarray(res.tokens).reshape(B, F, -1)
-        probs = np.asarray(res.token_probs).reshape(B, F, -1)
+
+    pending = dispatch(0)
+    for round_idx in range(dcfg.max_temp_rounds):
+        if dcfg.lookahead and round_idx + 1 < dcfg.max_temp_rounds:
+            nxt = dispatch(round_idx + 1)  # in flight while we filter round k
+        else:
+            nxt = None
+        tokens = np.asarray(pending.tokens).reshape(B, F, -1)
+        probs = np.asarray(pending.token_probs).reshape(B, F, -1)
         # one batched canonicalize over every lane (native C++, threaded)
         flat_smiles = [vocab.ids_to_smiles(r) for r in tokens.reshape(B * F, -1)]
         canons = chem.batch_canonicalize(flat_smiles)
@@ -159,16 +180,20 @@ def generate_candidates_batch(
             )
             outs[b].rounds_used = round_idx + 1
             if len(outs[b].smiles) < want:
-                temps[b] += dcfg.temp_increment
                 all_done = False
         if all_done:
             break
+        if nxt is None and round_idx + 1 < dcfg.max_temp_rounds:
+            nxt = dispatch(round_idx + 1)
+        pending = nxt
     return outs
 
 
 def greedy_smiles(
-    params, mcfg: ModelConfig, memory: Array, memory_kpm: Array, max_len: int = 128
+    params, mcfg: ModelConfig, memory: Array, memory_kpm: Array, max_len: int = 128,
+    compute_dtype: Optional[str] = None,
 ) -> list[str]:
     """Greedy decode -> raw SMILES strings (reference greedy_sequence)."""
-    res = samplers.greedy_decode(params, mcfg, memory, memory_kpm, 1.0, max_len)
+    res = samplers.greedy_decode(params, mcfg, memory, memory_kpm, 1.0, max_len,
+                                 compute_dtype=compute_dtype)
     return vocab.batch_ids_to_smiles(np.asarray(res.tokens))

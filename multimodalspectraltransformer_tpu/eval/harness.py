@@ -165,6 +165,7 @@ def evaluate_molecules(
 
     tb = dp.collate(feats)
     inputs = jax.tree.map(jnp.asarray, tb.inputs)
+    t_start = time.time()  # summary.mols_per_sec covers encode -> ranking
     enc = _encode_batch(model, params, inputs)
 
     # teacher-forced sequence probability (corr_sampling_prob)
@@ -173,7 +174,8 @@ def evaluate_molecules(
     )
 
     # greedy decode for the whole batch at once
-    greedy = generation.greedy_smiles(params, mcfg, enc.memory, enc.memory_key_padding_mask, dcfg.max_len)
+    greedy = generation.greedy_smiles(params, mcfg, enc.memory, enc.memory_key_padding_mask,
+                                      dcfg.max_len, compute_dtype=dcfg.compute_dtype)
 
     # fan-out candidate generation for ALL molecules in one compiled loop
     # per temperature round (per-molecule calls leave the chip idle)
@@ -185,8 +187,62 @@ def evaluate_molecules(
             target_mws=[float(f["mw"]) for f in feats],
         )
 
+    # Batched CLIP scoring: ALL molecules' candidate blocks in ONE device
+    # call (the reference calls CLIPModel.inference per molecule). Each
+    # molecule keeps its own C x C contrastive block, so scores are
+    # numerically identical to per-molecule calls. Blocks are padded (by
+    # repeating the last candidate) to one fixed width so a single compiled
+    # executable serves every evaluation; padding perturbs the soft
+    # contrastive targets slightly — the reference's own scores likewise
+    # depend on set composition.
+    clip_scores: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    if run_mns and clip_bundle is not None:
+        from ..rank import clip as clip_mod
+
+        cvars, ccfg = clip_bundle
+        with_cands = [i for i in range(len(feats)) if all_cands[i].smiles]
+        if with_cands:
+            width = clip_block or max(len(all_cands[i].smiles) for i in with_cands)
+            tok_blocks, mask_blocks, n_reals = [], [], []
+            for i in with_cands:
+                smis = list(all_cands[i].smiles)[:width]
+                n_reals.append(len(smis))
+                smis = smis + [smis[-1]] * (width - len(smis))
+                toks, masks = zip(
+                    *[tokenizer.encode_smiles_framed(s, ccfg.text_max_len) for s in smis]
+                )
+                tok_blocks.append(np.stack(toks))
+                mask_blocks.append(1 - np.stack(masks))
+            score = clip_mod.score_candidates_batch(
+                cvars, ccfg,
+                jnp.asarray(np.stack(tok_blocks)), jnp.asarray(np.stack(mask_blocks)),
+                enc.fingerprint[jnp.asarray(with_cands)],
+            )
+            losses = np.asarray(score.losses)
+            dots = np.asarray(score.dot_similarity)
+            for j, i in enumerate(with_cands):
+                clip_scores[i] = (losses[j, : n_reals[j]], dots[j, : n_reals[j]])
+
+    # Batched spectral simulation: one factory pass over the UNION of all
+    # molecules' candidates (the reference re-runs its SGNN pipeline per
+    # molecule); per-candidate spectra are then looked up by canonical
+    # SMILES. One GNN batch + one featurization sweep instead of M.
+    sim_by_smi: dict[str, Any] = {}
+    if run_mns and simulate_errors:
+        union: list[str] = []
+        seen_u: set = set()
+        for i, rec in enumerate(kept_records):
+            if rec.hsqc is None:
+                continue
+            for smi in all_cands[i].smiles:
+                if smi not in seen_u:
+                    seen_u.add(smi)
+                    union.append(smi)
+        if union:
+            for sr in sim_factory.simulate_records(union, **(sim_kwargs or {})):
+                sim_by_smi[sr.smiles] = sr
+
     results: list[MoleculeResult] = []
-    t_start = time.time()
     for i, (rec, f) in enumerate(zip(kept_records, feats)):
         t0 = time.time()
         target = f["smiles"]
@@ -207,42 +263,17 @@ def evaluate_molecules(
                 cr.exact = chem.exact_match(smi, target)
                 res.candidates.append(cr)
 
-            if clip_bundle is not None and res.candidates:
-                from ..rank import clip as clip_mod
-
-                cvars, ccfg = clip_bundle
-                cand_smiles = [c.smiles for c in res.candidates]
-                n_real = len(cand_smiles)
-                if clip_block and n_real < clip_block:
-                    # fixed-block scoring: pad by repeating the last
-                    # candidate so every molecule reuses ONE compiled CLIP
-                    # executable (per-count programs recompile because the
-                    # contrastive loss depends on the set size). Padding
-                    # perturbs the contrastive targets slightly; the
-                    # reference's own scores also depend on set composition.
-                    cand_smiles = cand_smiles + [cand_smiles[-1]] * (clip_block - n_real)
-                toks, masks = zip(
-                    *[tokenizer.encode_smiles_framed(s, ccfg.text_max_len) for s in cand_smiles]
-                )
-                score = clip_mod.score_candidates(
-                    cvars, ccfg,
-                    jnp.asarray(np.stack(toks)), jnp.asarray(1 - np.stack(masks)),
-                    enc.fingerprint[i],
-                )
-                for c, l, d in zip(res.candidates, np.asarray(score.losses)[:n_real],
-                                   np.asarray(score.dot_similarity)[:n_real]):
+            if i in clip_scores:
+                losses_i, dots_i = clip_scores[i]
+                for c, l, d in zip(res.candidates, losses_i, dots_i):
                     c.clip_loss = float(l)
                     c.clip_dot = float(d)
 
             if simulate_errors and res.candidates and rec.hsqc is not None:
-                sim_recs = sim_factory.simulate_records(
-                    [c.smiles for c in res.candidates], **(sim_kwargs or {})
-                )
-                by_smi = {sr.smiles: sr for sr in sim_recs}
                 q_hsqc = np.asarray(rec.hsqc, float) if rec.hsqc else None
                 q_cosy = np.asarray(rec.cosy, float) if rec.cosy else None
                 for c in res.candidates:
-                    sr = by_smi.get(chem.canonicalize(c.smiles))
+                    sr = sim_by_smi.get(chem.canonicalize(c.smiles))
                     if sr is None:
                         continue
                     if q_hsqc is not None and sr.hsqc:

@@ -27,7 +27,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass
-from typing import Any, Mapping, Sequence
+from typing import Any, Mapping, Optional, Sequence
 
 SPECTRUM_MODALITIES: tuple[str, ...] = ("1H", "13C", "HSQC", "COSY", "IR")
 CONDITIONING: tuple[str, ...] = ("MF", "MS", "MW")
@@ -258,6 +258,13 @@ class DecodeConfig:
     temp_increment: float = 0.1
     mw_filter: bool = True
     mw_delta: float = 0.5  # +- window on rounded MW
+    # decoder compute dtype for generation ("bfloat16" halves the dominant
+    # HBM streams; token selection math stays fp32). None = memory dtype.
+    compute_dtype: Optional[str] = None
+    # dispatch sampling round k+1 before round k's host-side filtering:
+    # overlaps device decode with host chemistry (see
+    # eval.generation.generate_candidates_batch for why this is lossless)
+    lookahead: bool = True
 
 
 @dataclass(frozen=True)

@@ -114,6 +114,28 @@ def test_score_candidates():
     assert np.isfinite(np.asarray(out.dot_similarity)).all()
 
 
+def test_score_candidates_batch_matches_per_molecule():
+    """One batched call over M molecules == M separate score_candidates
+    calls (each molecule keeps its own CxC contrastive block)."""
+    model = clip.CLIPRanker(SMALL)
+    M, C, T = 3, 4, 12
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(1, 50, (M, C, T)))
+    mask = jnp.ones((M, C, T), jnp.int32)
+    fps = jnp.asarray(rng.normal(size=(M, SMALL.mt_embedding)), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), tokens[0], mask[0], jnp.tile(fps[0][None], (C, 1)), True
+    )
+    batched = clip.score_candidates_batch(variables, SMALL, tokens, mask, fps)
+    assert batched.losses.shape == (M, C)
+    for m in range(M):
+        single = clip.score_candidates(variables, SMALL, tokens[m], mask[m], fps[m])
+        np.testing.assert_allclose(np.asarray(batched.losses[m]), np.asarray(single.losses), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(batched.dot_similarity[m]), np.asarray(single.dot_similarity), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_from_torch_clip_conversion():
     """Reference CLIPModel checkpoint layout loads into CLIPRanker and the
     converted projection heads reproduce torch outputs."""
