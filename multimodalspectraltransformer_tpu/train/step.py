@@ -38,13 +38,26 @@ class TrainBatch(NamedTuple):
 
 
 def loss_fn(params, model: MultimodalTransformer, cfg: MMTConfig, batch: TrainBatch, rng):
+    if cfg.train.mixed_precision:
+        # bf16 forward/backward: cast at the loss boundary so the master
+        # params (the differentiated argument) stay fp32 — the cast's
+        # transpose accumulates grads back to fp32. Loss math below runs on
+        # fp32 logits.
+        to_bf16 = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+        compute = jax.tree.map(to_bf16, params)
+        inputs = jax.tree.map(to_bf16, batch.inputs)
+    else:
+        compute = params
+        inputs = batch.inputs
     logits, fp_logits, _, _ = model.apply(
-        {"params": params},
-        batch.inputs,
+        {"params": compute},
+        inputs,
         batch.trg_tokens[:, :-1],
         False,
         rngs={"dropout": rng},
     )
+    logits = logits.astype(jnp.float32)
+    fp_logits = fp_logits.astype(jnp.float32)
     out = loss_mod.total_loss(
         logits,
         batch.trg_tokens,

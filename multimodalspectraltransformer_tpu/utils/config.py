@@ -243,6 +243,11 @@ class TrainConfig:
     data_parallel: int = -1  # -1 = all devices
     model_parallel: int = 1
 
+    # mixed precision: run forward/backward in bfloat16 (params cast at the
+    # loss boundary; master params, loss, grads, and optimizer state stay
+    # fp32). TPU-idiomatic — the MXU natively consumes bf16 operands.
+    mixed_precision: bool = False
+
 
 @dataclass(frozen=True)
 class DecodeConfig:

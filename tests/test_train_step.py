@@ -71,6 +71,28 @@ def test_overfit_one_batch():
     assert float(metrics.token_accuracy) > 0.2
 
 
+def test_mixed_precision_overfit_and_fp32_state():
+    """bf16 forward/backward still learns; master params/grads stay fp32."""
+    cfg = MMTConfig(model=CFG.model,
+                    train=TrainConfig(learning_rate=1e-3, weight_fp=0.1, mixed_precision=True))
+    model = mmt.MultimodalTransformer(cfg.model)
+    batch = _make_batch(cfg.model, batch=4)
+    params = mmt.init_params(cfg.model, jax.random.PRNGKey(0), batch_size=4)
+    state = create_state(cfg.train, params)
+    rng = jax.random.PRNGKey(123)
+
+    first = None
+    for _ in range(30):
+        state, metrics = train_step(model, cfg, state, batch, rng)
+        if first is None:
+            first = float(metrics.loss)
+    last = float(metrics.loss)
+    assert np.isfinite(last)
+    assert last < first * 0.6, (first, last)
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_eval_step_deterministic():
     model = mmt.MultimodalTransformer(CFG.model)
     batch = _make_batch(CFG.model, batch=4)
