@@ -78,13 +78,16 @@ def main_e2e() -> None:
         clip_block=dcfg.multinom_runs,
     )
 
-    t0 = time.perf_counter()
-    results, summary = harness.evaluate_molecules(
-        records, params, cfg, dcfg, clip_bundle=(cvars, ccfg), simulate_errors=True,
-        clip_block=dcfg.multinom_runs,
-    )
-    dt = time.perf_counter() - t0
-    mols_per_sec = len(results) / dt
+    reps = int(os.environ.get("BENCH_E2E_REPS", "2"))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        results, summary = harness.evaluate_molecules(
+            records, params, cfg, dcfg, clip_bundle=(cvars, ccfg), simulate_errors=True,
+            clip_block=dcfg.multinom_runs,
+        )
+        best = min(best, time.perf_counter() - t0)
+    mols_per_sec = len(results) / best
     print(json.dumps({
         "metric": (
             f"mols/sec/chip FULL pipeline: encode + greedy + 128-way MNS "

@@ -176,6 +176,11 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     activation: str = "relu"
+    # rematerialize each layer in the backward pass instead of keeping its
+    # [B,H,S,S] attention scores + [B,S,ffn] activations alive (jax.checkpoint).
+    # Identical params and outputs; trades cheap recompute for the HBM that
+    # otherwise caps the trainable batch size.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -185,9 +190,14 @@ class TransformerEncoder(nn.Module):
         src_mask: Optional[Array] = None,
         deterministic: bool = True,
     ) -> Array:
+        layer_cls = (
+            nn.remat(TransformerEncoderLayer, static_argnums=(4,))
+            if self.remat
+            else TransformerEncoderLayer
+        )
         x = src
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.d_model,
                 self.num_heads,
                 self.ffn_dim,
@@ -249,6 +259,7 @@ class TransformerDecoder(nn.Module):
     dropout: float = 0.1
     layer_norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # see TransformerEncoder.remat
 
     @nn.compact
     def __call__(
@@ -259,9 +270,14 @@ class TransformerDecoder(nn.Module):
         memory_key_padding_mask: Optional[Array] = None,
         deterministic: bool = True,
     ) -> Array:
+        layer_cls = (
+            nn.remat(TransformerDecoderLayer, static_argnums=(5,))
+            if self.remat
+            else TransformerDecoderLayer
+        )
         x = tgt
         for i in range(self.num_layers):
-            x = TransformerDecoderLayer(
+            x = layer_cls(
                 self.d_model,
                 self.num_heads,
                 self.ffn_dim,

@@ -141,6 +141,7 @@ class MultimodalTransformer(nn.Module):
             dropout=cfg.dropout,
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=dt,
+            remat=cfg.remat,
             name="modality_encoders",
         )
 
@@ -152,6 +153,7 @@ class MultimodalTransformer(nn.Module):
             dropout=cfg.dropout,
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=dt,
+            remat=cfg.remat,
             name="encoder_cross",
         )
 
@@ -163,6 +165,7 @@ class MultimodalTransformer(nn.Module):
             dropout=cfg.dropout,
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=dt,
+            remat=cfg.remat,
             name="decoder",
         )
 

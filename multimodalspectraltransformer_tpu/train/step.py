@@ -38,20 +38,17 @@ class TrainBatch(NamedTuple):
 
 
 def loss_fn(params, model: MultimodalTransformer, cfg: MMTConfig, batch: TrainBatch, rng):
-    if cfg.train.mixed_precision:
-        # bf16 forward/backward: cast at the loss boundary so the master
-        # params (the differentiated argument) stay fp32 — the cast's
-        # transpose accumulates grads back to fp32. Loss math below runs on
-        # fp32 logits.
-        to_bf16 = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
-        compute = jax.tree.map(to_bf16, params)
-        inputs = jax.tree.map(to_bf16, batch.inputs)
-    else:
-        compute = params
-        inputs = batch.inputs
+    if cfg.train.mixed_precision and cfg.model.dtype != "bfloat16":
+        # bf16 forward/backward: rebuild the model with bfloat16 COMPUTE
+        # dtype (each layer casts its weights at use, so the differentiated
+        # master params stay fp32 and the cast's transpose accumulates
+        # grads back to fp32). Loss math below runs on fp32 logits.
+        import dataclasses
+
+        model = MultimodalTransformer(dataclasses.replace(cfg.model, dtype="bfloat16"))
     logits, fp_logits, _, _ = model.apply(
-        {"params": compute},
-        inputs,
+        {"params": params},
+        batch.inputs,
         batch.trg_tokens[:, :-1],
         False,
         rngs={"dropout": rng},

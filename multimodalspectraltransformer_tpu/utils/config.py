@@ -146,6 +146,13 @@ class ModelConfig:
     # production inference uses bfloat16.
     dtype: str = "float32"
 
+    # Rematerialize encoder/decoder layers in the backward pass
+    # (jax.checkpoint). Without it the [B,H,S,S] attention scores of every
+    # layer stay alive for the gradient (~37 GB at batch 256 on the full
+    # model); with it, activation memory is O(layers) smaller at the cost
+    # of one cheap recompute. Identical params and outputs.
+    remat: bool = False
+
     # ---- derived static layout -------------------------------------------------
     @property
     def cond_len(self) -> int:

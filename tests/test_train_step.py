@@ -93,6 +93,26 @@ def test_mixed_precision_overfit_and_fp32_state():
         assert leaf.dtype == jnp.float32
 
 
+def test_remat_same_params_and_loss():
+    """remat=True must produce the identical param tree and (bitwise-close)
+    loss/grads — it only changes what the backward pass keeps in memory."""
+    from multimodalspectraltransformer_tpu.train.step import loss_fn
+
+    mcfg_r = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=128, remat=True)
+    cfg_r = MMTConfig(model=mcfg_r, train=CFG.train)
+    model = mmt.MultimodalTransformer(CFG.model)
+    model_r = mmt.MultimodalTransformer(mcfg_r)
+    batch = _make_batch(CFG.model, batch=4)
+    params = mmt.init_params(CFG.model, jax.random.PRNGKey(0), batch_size=4)
+    rng = jax.random.PRNGKey(5)
+
+    (l1, _), g1 = jax.value_and_grad(loss_fn, has_aux=True)(params, model, CFG, batch, rng)
+    (l2, _), g2 = jax.value_and_grad(loss_fn, has_aux=True)(params, model_r, cfg_r, batch, rng)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_eval_step_deterministic():
     model = mmt.MultimodalTransformer(CFG.model)
     batch = _make_batch(CFG.model, batch=4)
