@@ -79,6 +79,13 @@ def train_step(
     rng: jax.Array,
 ) -> tuple[TrainState, StepMetrics]:
     step_rng = jax.random.fold_in(rng, state.step)
+    if cfg.train.fast_dropout_rng:
+        # Re-key the dropout stream onto the hardware RNG ('unsafe_rbg'):
+        # threefry mask generation for the [B,H,S,S] attention-weight
+        # dropout otherwise dominates the step (see TrainConfig).
+        step_rng = jax.random.key(
+            jax.random.bits(step_rng, (), "uint32"), impl="unsafe_rbg"
+        )
     (total, (out, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, model, cfg, batch, step_rng
     )

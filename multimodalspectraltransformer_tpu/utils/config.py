@@ -255,6 +255,14 @@ class TrainConfig:
     # fp32). TPU-idiomatic — the MXU natively consumes bf16 operands.
     mixed_precision: bool = False
 
+    # Generate dropout masks with the TPU's hardware RNG (jax 'unsafe_rbg'
+    # impl) instead of counter-based threefry. Dropout on attention weights
+    # draws O(B*H*S^2) random bits per layer; threefry generates them on the
+    # VPU at ~10 ops/element and dominates the train step (measured: 268 ms
+    # -> 158 ms at batch 64 bf16). Still deterministic per (seed, step);
+    # statistical quality is more than sufficient for dropout noise.
+    fast_dropout_rng: bool = True
+
 
 @dataclass(frozen=True)
 class DecodeConfig:
