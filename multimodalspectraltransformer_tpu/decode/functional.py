@@ -9,11 +9,14 @@ fresh kernel launch per step. Here decoding is a single compiled
 - a self-attention KV cache held as one array *per layer* (per-layer
   buffers let XLA alias the dynamic-update-slice in place; a single stacked
   [L, ...] array forces a full-cache copy per layer per step and blows HBM),
-- K/V buffers stored **sequence-minor** as ``[B, H, Dh, S]``: with the MMT's
-  head_dim of 8, the naive ``[B, H, S, Dh]`` layout pads the 8-wide minor
-  dim to the TPU's 128-lane tile — a 16x HBM expansion (measured: 2.85 GB
-  per 182 MB buffer). Sequence-minor tiles exactly, and both attention
-  contractions read it natively (scores: contract Dh; output: contract S),
+- K and V MERGED per layer and stored **sequence-minor** as
+  ``[B, H, 2*Dh, S]`` (see DecodeState): with the MMT's head_dim of 8, the
+  naive ``[B, H, S, Dh]`` layout pads the 8-wide minor dim to the TPU's
+  128-lane tile — a 16x HBM expansion (measured: 2.85 GB per 182 MB
+  buffer) — and separate sequence-minor K/V buffers still half-fill bf16
+  tiles (16 sublanes). Merged sequence-minor tiles exactly, and both
+  attention contractions read it natively (scores: contract Dh; output:
+  contract S),
 - cross-attention K/V precomputed from the encoder memory once per
   generation (they never change across steps),
 - static shapes throughout (T_max = cfg.max_len), so one compilation serves
@@ -51,10 +54,25 @@ def _split_heads_t(x: Array, h: int) -> Array:
 
 
 class DecodeState(NamedTuple):
-    """KV cache: one (k, v) buffer per decoder layer, [B, H, Dh, T_max]."""
+    """KV cache: one MERGED buffer per decoder layer, ``[B, H, 2*Dh, T]``
+    with K in sublane rows ``0:Dh`` and V in ``Dh:2*Dh``.
 
-    k_cache: tuple[Array, ...]
-    v_cache: tuple[Array, ...]
+    Merging matters for the physical layout: bf16 TPU tiles hold 16 sublanes
+    (8 x 32-bit words, 2-way packed), so a separate [B, H, 8, T] K buffer
+    half-fills every tile — 2x the HBM footprint and per-step DMA. K and V
+    stacked to 16 sublanes fill tiles exactly (measured: ~20% faster
+    fan-out decode rounds), and the per-step cache write becomes ONE
+    dynamic_update_slice per layer instead of two."""
+
+    kv_cache: tuple[Array, ...]
+
+    @property
+    def k_cache(self) -> tuple[Array, ...]:
+        return tuple(kv[:, :, : kv.shape[2] // 2, :] for kv in self.kv_cache)
+
+    @property
+    def v_cache(self) -> tuple[Array, ...]:
+        return tuple(kv[:, :, kv.shape[2] // 2 :, :] for kv in self.kv_cache)
 
 
 class CrossKV(NamedTuple):
@@ -66,12 +84,9 @@ class CrossKV(NamedTuple):
 def init_cache(cfg: ModelConfig, batch: int, dtype=jnp.float32) -> DecodeState:
     H = cfg.num_heads
     Dh = cfg.hidden_size // H
-    shape = (batch, H, Dh, cfg.max_len)
+    shape = (batch, H, 2 * Dh, cfg.max_len)
     L = cfg.num_decoder_layers
-    return DecodeState(
-        tuple(jnp.zeros(shape, dtype) for _ in range(L)),
-        tuple(jnp.zeros(shape, dtype) for _ in range(L)),
-    )
+    return DecodeState(tuple(jnp.zeros(shape, dtype) for _ in range(L)))
 
 
 def precompute_cross_kv(
@@ -98,10 +113,7 @@ def precompute_cross_kv(
 
 def gather_lanes(state: DecodeState, idx: Array) -> DecodeState:
     """Reorder the batch/lane dimension of every cache buffer (beam search)."""
-    return DecodeState(
-        tuple(k[idx] for k in state.k_cache),
-        tuple(v[idx] for v in state.v_cache),
-    )
+    return DecodeState(tuple(kv[idx] for kv in state.kv_cache))
 
 
 def decoder_step(
@@ -138,7 +150,7 @@ def decoder_step(
     pos_mask = (jnp.arange(cfg.max_len) <= pos)[None, None, None, :]  # [1,1,1,T]
     self_bias = jnp.where(pos_mask, 0.0, -jnp.inf).astype(x.dtype)
 
-    new_k, new_v = [], []
+    new_kv = []
     scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, x.dtype))
 
     for i in range(cfg.num_decoder_layers):
@@ -149,10 +161,11 @@ def decoder_step(
         qkv = x @ sp["in_proj_weight"].T + sp["in_proj_bias"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3) * scale  # [B,H,1,Dh]
-        k_i = jax.lax.dynamic_update_slice(state.k_cache[i], _split_heads_t(k, H), (0, 0, 0, pos))
-        v_i = jax.lax.dynamic_update_slice(state.v_cache[i], _split_heads_t(v, H), (0, 0, 0, pos))
-        new_k.append(k_i)
-        new_v.append(v_i)
+        kv_new = jnp.concatenate([_split_heads_t(k, H), _split_heads_t(v, H)], axis=2)
+        kv_i = jax.lax.dynamic_update_slice(state.kv_cache[i], kv_new, (0, 0, 0, pos))
+        new_kv.append(kv_i)
+        k_i = kv_i[:, :, :Dh, :]
+        v_i = kv_i[:, :, Dh:, :]
         scores = jnp.einsum("bhqd,bhdk->bhqk", q, k_i) + self_bias
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         sa = jnp.einsum("bhqk,bhdk->bhqd", attn, v_i)
@@ -188,21 +201,19 @@ def decoder_step(
     if blend is not None:
         # experimental-data blend (reference `models_MMT_v15_4.py:965-971`)
         logits = (logits + blend) / 2
-    return logits, DecodeState(tuple(new_k), tuple(new_v))
+    return logits, DecodeState(tuple(new_kv))
 
 
 def init_beam_cache(cfg: ModelConfig, batch: int, beam_size: int, dtype=jnp.float32) -> DecodeState:
-    """Beam-mode KV cache: [B, H, Dh, T*L] with lanes CONTIGUOUS per step
-    (index t*L + l), so each step's write is one dynamic_update_slice of a
-    [B, H, Dh, L] block and both attention contractions run layout-native."""
+    """Beam-mode KV cache: [B, H, 2*Dh, T*L] (merged K/V sublanes, see
+    DecodeState) with lanes CONTIGUOUS per step (index t*L + l), so each
+    step's write is one dynamic_update_slice of a [B, H, 2*Dh, L] block and
+    both attention contractions run layout-native."""
     H = cfg.num_heads
     Dh = cfg.hidden_size // H
-    shape = (batch, H, Dh, cfg.max_len * beam_size)
+    shape = (batch, H, 2 * Dh, cfg.max_len * beam_size)
     L = cfg.num_decoder_layers
-    return DecodeState(
-        tuple(jnp.zeros(shape, dtype) for _ in range(L)),
-        tuple(jnp.zeros(shape, dtype) for _ in range(L)),
-    )
+    return DecodeState(tuple(jnp.zeros(shape, dtype) for _ in range(L)))
 
 
 def beam_decoder_step(
@@ -247,7 +258,7 @@ def beam_decoder_step(
     bias_km = jnp.where(anc_ok & t_ok, 0.0, -jnp.inf).astype(x.dtype).reshape(B, K, T * K)
     self_bias = bias_km[:, None, :, :]
 
-    new_k, new_v = [], []
+    new_kv = []
     scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, x.dtype))
 
     for i in range(cfg.num_decoder_layers):
@@ -257,13 +268,15 @@ def beam_decoder_step(
         sp = lp["self_attn"]
         qkv = x @ sp["in_proj_weight"].T + sp["in_proj_bias"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        # new entries: [B*K, 1, D] -> [B, H, Dh, L] block at column pos*K
-        new_block_k = k.reshape(B, K, H, Dh).transpose(0, 2, 3, 1)
-        new_block_v = v.reshape(B, K, H, Dh).transpose(0, 2, 3, 1)
-        k_i = jax.lax.dynamic_update_slice(state.k_cache[i], new_block_k, (0, 0, 0, pos * K))
-        v_i = jax.lax.dynamic_update_slice(state.v_cache[i], new_block_v, (0, 0, 0, pos * K))
-        new_k.append(k_i)
-        new_v.append(v_i)
+        # new entries: [B*K, 1, D] -> [B, H, 2*Dh, L] block at column pos*K
+        new_block = jnp.concatenate(
+            [k.reshape(B, K, H, Dh).transpose(0, 2, 3, 1),
+             v.reshape(B, K, H, Dh).transpose(0, 2, 3, 1)], axis=2
+        )
+        kv_i = jax.lax.dynamic_update_slice(state.kv_cache[i], new_block, (0, 0, 0, pos * K))
+        new_kv.append(kv_i)
+        k_i = kv_i[:, :, :Dh, :]
+        v_i = kv_i[:, :, Dh:, :]
         qb = q.reshape(B, K, H, Dh).transpose(0, 2, 1, 3) * scale  # [B,H,K,Dh]
         if use_pallas:
             from ..ops.beam_attention import beam_attention
@@ -294,7 +307,7 @@ def beam_decoder_step(
         x = _ln(x + y, lp["norm3"], eps)
 
     logits = x[:, 0, :] @ params["fc_out"]["kernel"] + params["fc_out"]["bias"]
-    return logits, DecodeState(tuple(new_k), tuple(new_v))
+    return logits, DecodeState(tuple(new_kv))
 
 
 def real_data_blend(params: Params, memory: Array) -> Array:

@@ -146,9 +146,29 @@ def evaluate_molecules(
     sim_kwargs: Optional[dict] = None,
     run_mns: bool = True,
     clip_block: int = 0,  # >0: fixed-size CLIP scoring block (one executable)
+    extra_candidates: Optional[Sequence[Sequence[str]]] = None,
 ) -> tuple[list[MoleculeResult], EvalSummary]:
-    """Evaluate a list of molecules end-to-end."""
+    """Evaluate a list of molecules end-to-end.
+
+    ``extra_candidates[i]`` — externally supplied candidate SMILES for the
+    i-th (featurizable) record, merged into its sampled candidate set before
+    CLIP scoring / spectral simulation / ranking. This is the reference's
+    rank-from-results-file analysis (`experiment_function_v15_4.py:725-837`
+    re-ranks candidates produced by an earlier generation run) as a harness
+    input: candidates from a vector-DB retrieval, a previous sweep, or a
+    generator other than the MMT sampler go through the identical
+    scoring/ranking stages.
+    """
+    import os
+
     from ..sim import factory as sim_factory
+
+    profile = os.environ.get("MMT_EVAL_PROFILE") == "1"
+    marks: list[tuple[str, float]] = []
+
+    def mark(label: str) -> None:
+        if profile:
+            marks.append((label, time.time()))
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     model = mmt.MultimodalTransformer(mcfg)
@@ -166,6 +186,7 @@ def evaluate_molecules(
     tb = dp.collate(feats)
     inputs = jax.tree.map(jnp.asarray, tb.inputs)
     t_start = time.time()  # summary.mols_per_sec covers encode -> ranking
+    mark("start")
     enc = _encode_batch(model, params, inputs)
 
     # teacher-forced sequence probability (corr_sampling_prob)
@@ -173,10 +194,12 @@ def evaluate_molecules(
         _teacher_forced_probs(model, params, jnp.asarray(tb.trg_tokens), enc.memory, enc.memory_key_padding_mask)
     )
 
+    mark("encode+teacher_forced")
     # greedy decode for the whole batch at once
     greedy = generation.greedy_smiles(params, mcfg, enc.memory, enc.memory_key_padding_mask,
                                       dcfg.max_len, compute_dtype=dcfg.compute_dtype)
 
+    mark("greedy")
     # fan-out candidate generation for ALL molecules in one compiled loop
     # per temperature round (per-molecule calls leave the chip idle)
     all_cands = None
@@ -187,6 +210,20 @@ def evaluate_molecules(
             target_mws=[float(f["mw"]) for f in feats],
         )
 
+    mark("mns_sampling")
+    if extra_candidates is not None:
+        if all_cands is None:
+            all_cands = [generation.CandidateSet() for _ in feats]
+        for i, smis in enumerate(extra_candidates[: len(all_cands)]):
+            cs = all_cands[i]
+            have = set(cs.smiles)
+            for can in chem.batch_canonicalize(list(smis)):
+                if can is None or can in have:
+                    continue
+                have.add(can)
+                cs.smiles.append(can)
+                cs.seq_probs.append(0.0)  # not sampled: no sequence prob
+
     # Batched CLIP scoring: ALL molecules' candidate blocks in ONE device
     # call (the reference calls CLIPModel.inference per molecule). Each
     # molecule keeps its own C x C contrastive block, so scores are
@@ -196,7 +233,7 @@ def evaluate_molecules(
     # contrastive targets slightly — the reference's own scores likewise
     # depend on set composition.
     clip_scores: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    if run_mns and clip_bundle is not None:
+    if all_cands is not None and clip_bundle is not None:
         from ..rank import clip as clip_mod
 
         cvars, ccfg = clip_bundle
@@ -223,12 +260,13 @@ def evaluate_molecules(
             for j, i in enumerate(with_cands):
                 clip_scores[i] = (losses[j, : n_reals[j]], dots[j, : n_reals[j]])
 
+    mark("clip")
     # Batched spectral simulation: one factory pass over the UNION of all
     # molecules' candidates (the reference re-runs its SGNN pipeline per
     # molecule); per-candidate spectra are then looked up by canonical
     # SMILES. One GNN batch + one featurization sweep instead of M.
     sim_by_smi: dict[str, Any] = {}
-    if run_mns and simulate_errors:
+    if all_cands is not None and simulate_errors:
         union: list[str] = []
         seen_u: set = set()
         for i, rec in enumerate(kept_records):
@@ -242,25 +280,52 @@ def evaluate_molecules(
             for sr in sim_factory.simulate_records(union, **(sim_kwargs or {})):
                 sim_by_smi[sr.smiles] = sr
 
+    mark("simulate")
+    # Batched host chemistry for the assembly loop: candidates are already
+    # canonical (the sampling filter and the extra_candidates merge both
+    # canonicalize), so exact match is string equality against the canonical
+    # target, and tanimoto is vectorized bit math over one threaded
+    # batch_morgan_fp pass — instead of per-candidate canonicalize/fp calls
+    # that re-derive the target fingerprint every time.
+    target_cans = chem.batch_canonicalize([f["smiles"] for f in feats])
+    greedy_cans = chem.batch_canonicalize(greedy)
+    cand_smis: list[str] = []
+    if all_cands is not None:
+        for cs in all_cands:
+            cand_smis.extend(cs.smiles)
+    fps, fps_ok = chem.batch_morgan_fp(
+        [c or "" for c in target_cans] + [c or "" for c in greedy_cans] + cand_smis
+    )
+    nf = len(feats)
+    t_fp, g_fp, c_fp = fps[:nf], fps[nf : 2 * nf], fps[2 * nf :]
+    t_ok, g_ok, c_ok = fps_ok[:nf], fps_ok[nf : 2 * nf], fps_ok[2 * nf :]
+
+    def _fp_tanimoto(fa, ok_a, fb, ok_b) -> float:
+        if not (ok_a and ok_b):
+            return 0.0
+        union = int(np.sum(fa | fb))
+        return float(np.sum(fa & fb)) / union if union else 0.0
+
+    cand_off = 0
     results: list[MoleculeResult] = []
     for i, (rec, f) in enumerate(zip(kept_records, feats)):
         t0 = time.time()
         target = f["smiles"]
         res = MoleculeResult(target=target, corr_sampling_prob=float(seq_probs[i]))
 
-        g = greedy[i]
-        res.greedy = g
-        res.greedy_valid = chem.is_valid(g)
-        res.greedy_exact = chem.exact_match(g, target)
-        res.greedy_tanimoto = chem.tanimoto(g, target) or 0.0 if res.greedy_valid else 0.0
+        res.greedy = greedy[i]
+        res.greedy_valid = greedy_cans[i] is not None
+        res.greedy_exact = greedy_cans[i] is not None and greedy_cans[i] == target_cans[i]
+        res.greedy_tanimoto = _fp_tanimoto(g_fp[i], g_ok[i], t_fp[i], t_ok[i])
 
-        if run_mns:
+        if all_cands is not None:
             cand = all_cands[i]
             res.sampling_rounds = cand.rounds_used
             for smi, p in zip(cand.smiles, cand.seq_probs):
                 cr = CandidateResult(smiles=smi, seq_prob=p)
-                cr.tanimoto = chem.tanimoto(smi, target) or 0.0
-                cr.exact = chem.exact_match(smi, target)
+                cr.tanimoto = _fp_tanimoto(c_fp[cand_off], c_ok[cand_off], t_fp[i], t_ok[i])
+                cr.exact = smi == target_cans[i]
+                cand_off += 1
                 res.candidates.append(cr)
 
             if i in clip_scores:
@@ -273,7 +338,7 @@ def evaluate_molecules(
                 q_hsqc = np.asarray(rec.hsqc, float) if rec.hsqc else None
                 q_cosy = np.asarray(rec.cosy, float) if rec.cosy else None
                 for c in res.candidates:
-                    sr = sim_by_smi.get(chem.canonicalize(c.smiles))
+                    sr = sim_by_smi.get(c.smiles)  # both sides canonical
                     if sr is None:
                         continue
                     if q_hsqc is not None and sr.hsqc:
@@ -287,7 +352,12 @@ def evaluate_molecules(
         res.wall_time_s = time.time() - t0
         results.append(res)
 
+    mark("per_mol_assembly")
     summary = summarize(results)
+    mark("summarize")
+    if profile:
+        for (a, ta), (b, tb) in zip(marks, marks[1:]):
+            print(f"  [eval-profile] {b:<20s} {(tb - ta) * 1000:8.1f} ms")
     total = time.time() - t_start
     summary.mols_per_sec = len(results) / total if total > 0 else 0.0
     return results, summary

@@ -17,6 +17,7 @@ improvement-cycle blending path.
 
 from __future__ import annotations
 
+import hashlib
 import random
 from dataclasses import dataclass
 from typing import Optional
@@ -135,7 +136,10 @@ def generate_neighbors(target_smiles: str, cfg: MolGenConfig = MolGenConfig()) -
     if can is None:
         return []
     target_mw = chem.mol_wt(can)
-    rng = random.Random((cfg.seed, can).__hash__() & 0x7FFFFFFF)
+    # process-stable seed: Python's str hash is salted per interpreter
+    # (PYTHONHASHSEED), which would make generation non-reproducible
+    digest = hashlib.sha256(f"{cfg.seed}|{can}".encode()).digest()
+    rng = random.Random(int.from_bytes(digest[:8], "little"))
     try:
         base = parse_smiles(can)
     except SmilesError:

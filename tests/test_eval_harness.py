@@ -98,6 +98,36 @@ def test_full_harness_summary():
         assert tanis == sorted(tanis, reverse=True)
 
 
+def test_extra_candidates_reranking():
+    """External candidates (reference rank-from-results-file analysis) go
+    through scoring/ranking without any sampling: exact/tanimoto computed,
+    the target itself scores exact, and simulation errors attach."""
+    params, recs = _trained_params()
+    dcfg = DecodeConfig(max_len=32, fanout=4, multinom_runs=3, max_temp_rounds=1, mw_filter=False)
+    extras = [[recs[0].smiles, recs[1].smiles, recs[0].smiles],  # dup collapses
+              [recs[1].smiles, recs[2].smiles]]
+    results, summary = harness.evaluate_molecules(
+        recs[:2], params, MCFG, dcfg, jax.random.PRNGKey(2),
+        simulate_errors=True, run_mns=False, extra_candidates=extras,
+    )
+    assert len(results) == 2
+    from multimodalspectraltransformer_tpu.chem import api as chem
+
+    for i, r in enumerate(results):
+        smis = [c.smiles for c in r.candidates]
+        assert len(set(smis)) == len(smis)
+        target_can = chem.canonicalize(r.target)
+        for c in r.candidates:
+            if c.smiles == target_can:
+                assert c.exact and c.tanimoto == 1.0
+            else:
+                assert not c.exact and c.tanimoto < 1.0
+    # molecule 0's extras contain its own target -> mns_exact
+    assert results[0].mns_exact
+    # spectral errors attached for simulated candidates
+    assert any(np.isfinite(c.hsqc_error) for r in results for c in r.candidates)
+
+
 def test_rank_candidates_by_error_ordering():
     res = harness.MoleculeResult(target="CCO")
     for smi, h, c in [("CCO", 0.1, 0.1), ("CCN", 0.5, 0.5), ("CCC", 0.02, 0.9)]:
