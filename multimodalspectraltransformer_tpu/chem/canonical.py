@@ -99,7 +99,15 @@ def symmetry_classes(mol: Mol) -> list[int]:
     tie-breaking pass, so automorphic atoms (e.g. the two ortho carbons of a
     mono-substituted benzene) share a class id. This is the first-party
     replacement for the reference's canonical-rank symmetry detection
-    (`data_generation_v15_4.py:765-796` find_symmetric_positions)."""
+    (`data_generation_v15_4.py:765-796` find_symmetric_positions).
+
+    Memoized on the Mol instance: the four spectrum reconstructions each
+    need the classes 2-3x per molecule, and refinement dominates
+    simulate_records without the cache (Mol objects are treated as
+    immutable once parsed)."""
+    cached = getattr(mol, "_symmetry_classes", None)
+    if cached is not None:
+        return cached
     n = mol.num_atoms
 
     def refine(ranks: list[int]) -> list[int]:
@@ -117,7 +125,12 @@ def symmetry_classes(mol: Mol) -> list[int]:
                 return new_ranks
             ranks = new_ranks
 
-    return refine(_ranks_from_invariants(_initial_invariants(mol)))
+    result = refine(_ranks_from_invariants(_initial_invariants(mol)))
+    try:
+        mol._symmetry_classes = result
+    except AttributeError:
+        pass  # Mol may use __slots__ without the cache slot
+    return result
 
 
 def _needs_brackets(mol: Mol, i: int) -> bool:

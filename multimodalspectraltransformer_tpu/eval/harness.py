@@ -233,6 +233,7 @@ def evaluate_molecules(
     # contrastive targets slightly — the reference's own scores likewise
     # depend on set composition.
     clip_scores: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    clip_pending = None
     if all_cands is not None and clip_bundle is not None:
         from ..rank import clip as clip_mod
 
@@ -250,17 +251,20 @@ def evaluate_molecules(
                 )
                 tok_blocks.append(np.stack(toks))
                 mask_blocks.append(1 - np.stack(masks))
-            score = clip_mod.score_candidates_batch(
-                cvars, ccfg,
-                jnp.asarray(np.stack(tok_blocks)), jnp.asarray(np.stack(mask_blocks)),
-                enc.fingerprint[jnp.asarray(with_cands)],
+            # dispatch only — the device->host fetch happens after the
+            # simulation stage below, hiding CLIP compute under the
+            # factory's host-side featurization/reconstruction work
+            clip_pending = (
+                clip_mod.score_candidates_batch(
+                    cvars, ccfg,
+                    jnp.asarray(np.stack(tok_blocks)), jnp.asarray(np.stack(mask_blocks)),
+                    enc.fingerprint[jnp.asarray(with_cands)],
+                ),
+                with_cands,
+                n_reals,
             )
-            losses = np.asarray(score.losses)
-            dots = np.asarray(score.dot_similarity)
-            for j, i in enumerate(with_cands):
-                clip_scores[i] = (losses[j, : n_reals[j]], dots[j, : n_reals[j]])
 
-    mark("clip")
+    mark("clip_dispatch")
     # Batched spectral simulation: one factory pass over the UNION of all
     # molecules' candidates (the reference re-runs its SGNN pipeline per
     # molecule); per-candidate spectra are then looked up by canonical
@@ -280,7 +284,14 @@ def evaluate_molecules(
             for sr in sim_factory.simulate_records(union, **(sim_kwargs or {})):
                 sim_by_smi[sr.smiles] = sr
 
-    mark("simulate")
+    if clip_pending is not None:
+        score, with_cands, n_reals = clip_pending
+        losses = np.asarray(score.losses)
+        dots = np.asarray(score.dot_similarity)
+        for j, i in enumerate(with_cands):
+            clip_scores[i] = (losses[j, : n_reals[j]], dots[j, : n_reals[j]])
+
+    mark("simulate+clip_fetch")
     # Batched host chemistry for the assembly loop: candidates are already
     # canonical (the sampling filter and the extra_candidates merge both
     # canonicalize), so exact match is string equality against the canonical
