@@ -6,4 +6,5 @@ from .mesh import (  # noqa: F401
     make_multislice_mesh,
     param_shardings,
     replicated,
+    shard_for_inference,
 )

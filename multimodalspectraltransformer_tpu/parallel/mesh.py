@@ -86,6 +86,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_for_inference(mesh: Mesh, params: Any, *batch_arrays: Any):
+    """Replicate ``params`` and shard each array's leading (batch) dim over
+    the mesh's data-parallel axes for fan-out decoding.
+
+    The reference's MNS fan-out (`duplicate_dict` 128x,
+    `run_batch_gen_val_MMT_v15_4.py:93-107`) is embarrassingly parallel
+    across chips (SURVEY §5.8): with encoder memory sharded over ``data``
+    and the decoder params replicated, GSPMD propagates the sharding
+    through the whole compiled `lax.while_loop` sampler — each chip decodes
+    its slice of molecules (and all their fan-out lanes) with zero
+    inter-chip traffic until the final gather. Returns
+    ``(params, *arrays)`` device_put with the right shardings; pass them to
+    the existing samplers unchanged."""
+    rep = jax.tree.map(lambda _: replicated(mesh), params)
+    p = jax.device_put(params, rep)
+    bs = batch_sharding(mesh)
+    arrs = tuple(jax.device_put(a, bs) for a in batch_arrays)
+    return (p, *arrs)
+
+
 # --- parameter partitioning (tensor parallelism) -----------------------------
 #
 # Megatron-style sharding for the transformer blocks, expressed as rules over

@@ -73,3 +73,32 @@ def test_multislice_train_step_matches_single_device():
     s2 = create_state(CFG.train, p2)
     s2, m2 = train_step(model, CFG, s2, b2, rng)
     np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_fanout_decode_matches_single_device():
+    """Fan-out/beam decoding sharded over the mesh data axis (params
+    replicated, encoder memory batch-sharded via shard_for_inference) must
+    produce the identical tokens as the single-device sampler — the
+    embarrassingly-parallel inference path of SURVEY §5.8."""
+    from multimodalspectraltransformer_tpu.decode import samplers
+
+    batch = _batch(8)
+    model = mmt.MultimodalTransformer(MCFG)
+    params = mmt.init_params(MCFG, jax.random.PRNGKey(0))
+    enc = jax.jit(lambda p, b: model.apply({"params": p}, b, None, True))(params, batch.inputs)
+    mem, kpm = enc.memory, enc.memory_key_padding_mask
+    rng = jax.random.PRNGKey(3)
+
+    ref_mn = samplers.multinomial_decode(params, MCFG, mem, kpm, rng, 1.0, 12, fanout=4)
+    ref_beam = samplers.beam_search(params, MCFG, mem, kpm, 3, 1.0, 12)
+
+    mesh = parallel.make_mesh(data=8, model=1)
+    p_s, mem_s, kpm_s = parallel.shard_for_inference(mesh, params, mem, kpm)
+    out_mn = samplers.multinomial_decode(p_s, MCFG, mem_s, kpm_s, rng, 1.0, 12, fanout=4)
+    out_beam = samplers.beam_search(p_s, MCFG, mem_s, kpm_s, 3, 1.0, 12)
+
+    np.testing.assert_array_equal(np.asarray(ref_mn.tokens), np.asarray(out_mn.tokens))
+    np.testing.assert_array_equal(np.asarray(ref_beam.tokens), np.asarray(out_beam.tokens))
+    np.testing.assert_allclose(
+        np.asarray(ref_beam.scores), np.asarray(out_beam.scores), rtol=1e-5, atol=1e-6
+    )
