@@ -92,7 +92,7 @@ def main_e2e() -> None:
         clip_block=dcfg.multinom_runs, extra_candidates=extras,
     )
 
-    reps = int(os.environ.get("BENCH_E2E_REPS", "2"))
+    reps = max(1, int(os.environ.get("BENCH_E2E_REPS", "2")))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

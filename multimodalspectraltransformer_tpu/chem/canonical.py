@@ -94,7 +94,7 @@ def canonical_ranks(mol: Mol) -> list[int]:
     return ranks
 
 
-def symmetry_classes(mol: Mol) -> list[int]:
+def symmetry_classes(mol: Mol) -> Sequence[int]:
     """Topological equivalence classes: Morgan refinement WITHOUT the
     tie-breaking pass, so automorphic atoms (e.g. the two ortho carbons of a
     mono-substituted benzene) share a class id. This is the first-party
@@ -125,9 +125,9 @@ def symmetry_classes(mol: Mol) -> list[int]:
                 return new_ranks
             ranks = new_ranks
 
-    result = refine(_ranks_from_invariants(_initial_invariants(mol)))
+    result = tuple(refine(_ranks_from_invariants(_initial_invariants(mol))))
     try:
-        mol._symmetry_classes = result
+        mol._symmetry_classes = result  # tuple: immune to caller mutation
     except AttributeError:
         pass  # Mol may use __slots__ without the cache slot
     return result

@@ -175,11 +175,19 @@ def evaluate_molecules(
 
     feats = []
     kept_records = []
-    for r in records:
+    kept_extras = [] if extra_candidates is not None else None
+    for idx, r in enumerate(records):
         f = dp.featurize(r, mcfg)
         if f is not None:
             feats.append(f)
             kept_records.append(r)
+            if kept_extras is not None:
+                # keep extras aligned with the surviving records: a dropped
+                # (unfeaturizable) record must not shift later molecules'
+                # injected candidates onto the wrong target
+                kept_extras.append(
+                    extra_candidates[idx] if idx < len(extra_candidates) else ()
+                )
     if not feats:
         return [], EvalSummary()
 
@@ -211,10 +219,10 @@ def evaluate_molecules(
         )
 
     mark("mns_sampling")
-    if extra_candidates is not None:
+    if kept_extras is not None:
         if all_cands is None:
             all_cands = [generation.CandidateSet() for _ in feats]
-        for i, smis in enumerate(extra_candidates[: len(all_cands)]):
+        for i, smis in enumerate(kept_extras):
             cs = all_cands[i]
             have = set(cs.smiles)
             for can in chem.batch_canonicalize(list(smis)):
@@ -240,7 +248,9 @@ def evaluate_molecules(
         cvars, ccfg = clip_bundle
         with_cands = [i for i in range(len(feats)) if all_cands[i].smiles]
         if with_cands:
-            width = clip_block or max(len(all_cands[i].smiles) for i in with_cands)
+            # clip_block is a MINIMUM width (one executable across calls);
+            # never truncate real candidates out of the scoring block
+            width = max(clip_block, max(len(all_cands[i].smiles) for i in with_cands))
             tok_blocks, mask_blocks, n_reals = [], [], []
             for i in with_cands:
                 smis = list(all_cands[i].smiles)[:width]

@@ -259,8 +259,11 @@ class TrainConfig:
     # impl) instead of counter-based threefry. Dropout on attention weights
     # draws O(B*H*S^2) random bits per layer; threefry generates them on the
     # VPU at ~10 ops/element and dominates the train step (measured: 268 ms
-    # -> 158 ms at batch 64 bf16). Still deterministic per (seed, step);
-    # statistical quality is more than sufficient for dropout noise.
+    # -> 158 ms at batch 64 bf16). Deterministic for a fixed backend,
+    # sharding, and XLA version — but JAX does NOT guarantee rbg bit
+    # stability across shardings/topologies/compiler upgrades, so set False
+    # when bit-exact reproducibility across those is required. Statistical
+    # quality is more than sufficient for dropout noise.
     fast_dropout_rng: bool = True
 
 

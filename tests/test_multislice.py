@@ -13,7 +13,10 @@ from multimodalspectraltransformer_tpu.train import create_state, train_step
 from multimodalspectraltransformer_tpu.utils.config import MMTConfig, ModelConfig, TrainConfig
 
 MCFG = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
-CFG = MMTConfig(model=MCFG, train=TrainConfig(learning_rate=1e-3))
+# fast_dropout_rng off: the sharded-vs-single-device parity assertions
+# must not depend on rbg bit stability across shardings (not a JAX
+# guarantee); threefry IS stable across shardings.
+CFG = MMTConfig(model=MCFG, train=TrainConfig(learning_rate=1e-3, fast_dropout_rng=False))
 
 
 def _batch(n=8):

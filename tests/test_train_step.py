@@ -11,9 +11,11 @@ from multimodalspectraltransformer_tpu.models import mmt
 from multimodalspectraltransformer_tpu.train import TrainBatch, create_state, eval_step, loss, train_step
 from multimodalspectraltransformer_tpu.utils.config import MMTConfig, ModelConfig, TrainConfig
 
+# fast_dropout_rng off: the sharded-vs-single-device parity test below must
+# not depend on rbg bit stability across shardings (not a JAX guarantee).
 CFG = MMTConfig(
     model=ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=128),
-    train=TrainConfig(learning_rate=1e-3, weight_fp=0.1),
+    train=TrainConfig(learning_rate=1e-3, weight_fp=0.1, fast_dropout_rng=False),
 )
 
 
@@ -111,6 +113,23 @@ def test_remat_same_params_and_loss():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_fast_dropout_rng_step():
+    """Hardware-RNG dropout (the default): finite loss, params actually
+    update, and the step is deterministic for a fixed backend/sharding."""
+    cfg = MMTConfig(model=CFG.model, train=TrainConfig(learning_rate=1e-3, fast_dropout_rng=True))
+    model = mmt.MultimodalTransformer(cfg.model)
+    batch = _make_batch(cfg.model, batch=4)
+    rng = jax.random.PRNGKey(11)
+    losses = []
+    for _ in range(2):
+        params = mmt.init_params(cfg.model, jax.random.PRNGKey(0), batch_size=4)
+        state = create_state(cfg.train, params)
+        state, m = train_step(model, cfg, state, batch, rng)
+        assert np.isfinite(float(m.loss)) and float(m.grad_norm) > 0
+        losses.append(float(m.loss))
+    assert losses[0] == losses[1]  # same seed+step -> same masks
 
 
 def test_eval_step_deterministic():
