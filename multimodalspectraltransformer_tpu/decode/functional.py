@@ -125,6 +125,7 @@ def decoder_step(
     cross: CrossKV,
     blend: Array | None = None,  # [B, vocab] real-data blend (use_real_data path)
     group_size: int = 1,
+    fused_self_attention: bool = False,  # ops/decode_attention Pallas kernel
 ) -> tuple[Array, DecodeState]:
     """One incremental decoder step. Returns (logits [B, vocab], new state).
 
@@ -164,12 +165,20 @@ def decoder_step(
         kv_new = jnp.concatenate([_split_heads_t(k, H), _split_heads_t(v, H)], axis=2)
         kv_i = jax.lax.dynamic_update_slice(state.kv_cache[i], kv_new, (0, 0, 0, pos))
         new_kv.append(kv_i)
-        k_i = kv_i[:, :, :Dh, :]
-        v_i = kv_i[:, :, Dh:, :]
-        scores = jnp.einsum("bhqd,bhdk->bhqk", q, k_i) + self_bias
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        sa = jnp.einsum("bhqk,bhdk->bhqd", attn, v_i)
-        sa = sa.transpose(0, 2, 1, 3).reshape(B, 1, D)
+        if fused_self_attention:
+            # one VMEM pass over the merged cache (XLA needs two: the K and
+            # V halves share tiles, so both contractions DMA the whole
+            # buffer); softmax never leaves the chip
+            from ..ops.decode_attention import decode_attention
+
+            sa = decode_attention(q[:, :, 0, :], kv_i, pos).reshape(B, 1, D)
+        else:
+            k_i = kv_i[:, :, :Dh, :]
+            v_i = kv_i[:, :, Dh:, :]
+            scores = jnp.einsum("bhqd,bhdk->bhqk", q, k_i) + self_bias
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+            sa = jnp.einsum("bhqk,bhdk->bhqd", attn, v_i)
+            sa = sa.transpose(0, 2, 1, 3).reshape(B, 1, D)
         sa = sa @ sp["out_proj_weight"].T + sp["out_proj_bias"]
         x = _ln(x + sa, lp["norm1"], eps)
 

@@ -65,6 +65,7 @@ def _loop_decode(
     dtype=jnp.float32,
     early_exit: bool = True,
     group_size: int = 1,
+    fused_self_attention: bool = False,
 ) -> DecodeResult:
     """Shared while-loop skeleton for greedy/multinomial."""
 
@@ -92,7 +93,8 @@ def _loop_decode(
 
     def body(s: S):
         logits, cache = decoder_step(params, cfg, s.cache, s.last, s.t, cross,
-                                     group_size=group_size)
+                                     group_size=group_size,
+                                     fused_self_attention=fused_self_attention)
         nxt, prob = select_fn(logits.astype(jnp.float32), s.t)
         nxt = jnp.where(s.finished, vocab.PAD_ID, nxt).astype(jnp.int32)
         prob = jnp.where(s.finished, 0.0, prob)
@@ -110,7 +112,20 @@ def _loop_decode(
     return DecodeResult(final.out, final.probs, lengths)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len", "early_exit", "compute_dtype"))
+def _default_fused(flag):
+    """None -> False. The fused Pallas decode-attention kernel
+    (ops/decode_attention.py) beats XLA standalone (0.47 vs 0.54 ms/call at
+    3072 lanes: one merged-cache DMA pass instead of two), but INSIDE the
+    decode while_loop it breaks XLA's in-place aliasing of the carried KV
+    cache — the pallas_call operand forces a full-cache copy per layer per
+    step (measured: 220 -> 2540 ms per fan-out round). Off by default;
+    available for non-loop/offline attention studies."""
+    if flag is None:
+        return False
+    return flag
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "early_exit", "compute_dtype", "fused_attention"))
 def greedy_decode(
     params: Params,
     cfg: ModelConfig,
@@ -120,6 +135,7 @@ def greedy_decode(
     max_len: int = 128,
     early_exit: bool = True,
     compute_dtype: Optional[str] = None,  # e.g. "bfloat16"; None = memory dtype
+    fused_attention: Optional[bool] = None,
 ) -> DecodeResult:
     if compute_dtype is not None:
         params = _cast_decode_params(params, compute_dtype)
@@ -131,10 +147,11 @@ def greedy_decode(
         nxt = jnp.argmax(probs, axis=-1)
         return nxt, jnp.take_along_axis(probs, nxt[:, None], axis=-1)[:, 0]
 
-    return _loop_decode(params, cfg, cross, memory.shape[0], select, max_len, memory.dtype, early_exit)
+    return _loop_decode(params, cfg, cross, memory.shape[0], select, max_len, memory.dtype,
+                        early_exit, fused_self_attention=_default_fused(fused_attention))
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len", "fanout", "early_exit", "compute_dtype"))
+@partial(jax.jit, static_argnames=("cfg", "max_len", "fanout", "early_exit", "compute_dtype", "fused_attention"))
 def multinomial_decode(
     params: Params,
     cfg: ModelConfig,
@@ -146,6 +163,7 @@ def multinomial_decode(
     fanout: int = 1,
     early_exit: bool = True,
     compute_dtype: Optional[str] = None,
+    fused_attention: Optional[bool] = None,
 ) -> DecodeResult:
     """Temperature sampling. With ``fanout=N``, B*N candidate sequences are
     sampled in one compiled loop (the reference's ``duplicate_dict`` 128-way
@@ -166,7 +184,8 @@ def multinomial_decode(
         return nxt, jnp.take_along_axis(probs, nxt[:, None], axis=-1)[:, 0]
 
     return _loop_decode(params, cfg, cross, batch, select, max_len, memory.dtype,
-                        early_exit, group_size=fanout)
+                        early_exit, group_size=fanout,
+                        fused_self_attention=_default_fused(fused_attention))
 
 
 class BeamResult(NamedTuple):

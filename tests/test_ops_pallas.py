@@ -97,3 +97,45 @@ def test_beam_decoder_step_pallas_flag_matches():
     l0, c0 = jax.jit(lambda c: F.beam_decoder_step(params, cfg, c, toks, pos, cross, anc, K))(cache)
     l1, c1 = jax.jit(lambda c: F.beam_decoder_step(params, cfg, c, toks, pos, cross, anc, K, use_pallas=True))(cache)
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_decode_attention_matches_xla():
+    """ops/decode_attention (interpret mode off-TPU) == the decoder_step
+    self-attention math: masked softmax over the merged [B,H,2Dh,T] cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalspectraltransformer_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.default_rng(3)
+    B, H, Dh, T = 8, 4, 8, 128
+    q = jnp.asarray(rng.normal(size=(B, H, Dh)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(B, H, 2 * Dh, T)), jnp.float32)
+    for pos in (0, 5, T - 1):
+        out = decode_attention(q, kv, jnp.asarray(pos, jnp.int32))
+        k, v = kv[:, :, :Dh, :], kv[:, :, Dh:, :]
+        s = jnp.einsum("bhd,bhdk->bhk", q, k)
+        s = jnp.where((jnp.arange(T) <= pos)[None, None, :], s, -jnp.inf)
+        ref = jnp.einsum("bhk,bhdk->bhd", jax.nn.softmax(s, axis=-1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_decode_attention_in_sampler():
+    """greedy_decode(fused_attention=True) (interpret mode on CPU) produces
+    the same tokens as the XLA path."""
+    import jax
+
+    from multimodalspectraltransformer_tpu.decode import samplers as S
+    from multimodalspectraltransformer_tpu.models import mmt
+    from multimodalspectraltransformer_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+    params = mmt.init_params(cfg, jax.random.PRNGKey(0))
+    model = mmt.MultimodalTransformer(cfg)
+    batch = mmt.dummy_batch(cfg, 2)
+    enc = jax.jit(lambda p, b: model.apply({"params": p}, b, None, True))(params, batch)
+    g0 = S.greedy_decode(params, cfg, enc.memory, enc.memory_key_padding_mask, 1.0, 12,
+                         fused_attention=False)
+    g1 = S.greedy_decode(params, cfg, enc.memory, enc.memory_key_padding_mask, 1.0, 12,
+                         fused_attention=True)
+    np.testing.assert_array_equal(np.asarray(g0.tokens), np.asarray(g1.tokens))
