@@ -197,17 +197,22 @@ def evaluate_molecules(
     mark("start")
     enc = _encode_batch(model, params, inputs)
 
-    # teacher-forced sequence probability (corr_sampling_prob)
-    seq_probs = np.asarray(
-        _teacher_forced_probs(model, params, jnp.asarray(tb.trg_tokens), enc.memory, enc.memory_key_padding_mask)
+    # Dispatch-before-fetch: queue the teacher-forced pass, the greedy
+    # decode, and (inside generate_candidates_batch) the first fan-out
+    # rounds on the device BEFORE blocking on any result — every fetch
+    # costs a host<->device round trip during which an eagerly-fetching
+    # ordering would leave the chip idle.
+    tf_pending = _teacher_forced_probs(
+        model, params, jnp.asarray(tb.trg_tokens), enc.memory, enc.memory_key_padding_mask
+    )
+    from ..decode import samplers as _samplers
+
+    greedy_pending = _samplers.greedy_decode(
+        params, mcfg, enc.memory, enc.memory_key_padding_mask, 1.0, dcfg.max_len,
+        compute_dtype=dcfg.compute_dtype,
     )
 
-    mark("encode+teacher_forced")
-    # greedy decode for the whole batch at once
-    greedy = generation.greedy_smiles(params, mcfg, enc.memory, enc.memory_key_padding_mask,
-                                      dcfg.max_len, compute_dtype=dcfg.compute_dtype)
-
-    mark("greedy")
+    mark("dispatch")
     # fan-out candidate generation for ALL molecules in one compiled loop
     # per temperature round (per-molecule calls leave the chip idle)
     all_cands = None
@@ -218,6 +223,8 @@ def evaluate_molecules(
             target_mws=[float(f["mw"]) for f in feats],
         )
 
+    seq_probs = np.asarray(tf_pending)  # corr_sampling_prob
+    greedy = vocab.batch_ids_to_smiles(np.asarray(greedy_pending.tokens))
     mark("mns_sampling")
     if kept_extras is not None:
         if all_cands is None:
