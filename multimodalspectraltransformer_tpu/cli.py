@@ -97,6 +97,7 @@ def cmd_train(args) -> int:
         train=TrainConfig(
             learning_rate=args.lr, num_epochs=args.epochs,
             save_interval_steps=args.save_every,
+            mixed_precision=getattr(args, "bf16", False),
         ),
         data=DataConfig(batch_size=args.batch_size),
     )
@@ -302,6 +303,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch-size", type=int, default=64)
     sp.add_argument("--save-every", type=int, default=1000)
     sp.add_argument("--gen-metrics-every", type=int, default=0)
+    sp.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute (fp32 master params) — ~2x step throughput")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("evaluate", help="run the evaluation harness")

@@ -100,9 +100,12 @@ def _greedy_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]
 
 
 def _nn_expand(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Greedy match, then re-match the longer set's leftovers against the
-    whole shorter set (reference euclidean_distance_nn): every point ends up
-    matched; total pairs = max(N, M)."""
+    """Greedy match, then ONE extra greedy round matching the longer set's
+    leftovers against the whole shorter set (reference
+    euclidean_distance_nn runs exactly one euclidean_distance_uneven pass).
+    NOTE: when ||N - M|| > min(N, M) some leftovers stay unmatched — total
+    pairs = min(N,M) + min(min(N,M), |N-M|), NOT max(N, M); the avg error
+    still divides by max(N, M). This mirrors the reference's behavior."""
     ia, ib = _greedy_pairs(a, b)
     pa, pb = list(a[ia]), list(b[ib])
     if len(a) < len(b):
@@ -247,11 +250,15 @@ def auction_assignment_cost(
             jax.nn.one_hot(best_j, N, dtype=bool), -jnp.inf, value
         )
         top2 = jnp.max(masked, axis=2)
-        # bidder i is assigned iff it currently owns some object
-        owns = jnp.zeros((B, N), bool)
-        owns = owns.at[jnp.arange(B)[:, None], jnp.where(owner >= 0, owner, 0)].set(
-            owner >= 0
-        )
+        # bidder i is assigned iff some object's owner == i. (A scatter
+        # .set() keyed on where(owner>=0, owner, 0) is WRONG here: every
+        # unowned object writes False to bidder 0, which can clobber a True
+        # from an object bidder 0 actually owns — bidder 0 then re-bids and
+        # ends up owning two objects, breaking the permutation.)
+        owns = jnp.any(
+            (owner[:, :, None] == jnp.arange(N)[None, None, :]) & (owner >= 0)[:, :, None],
+            axis=1,
+        )  # [B, i]
         unassigned = ~owns  # [B, i]
         bid_amount = top1 - top2 + eps  # [B, i]
         # resolve: for each object, the highest-bidding unassigned bidder wins

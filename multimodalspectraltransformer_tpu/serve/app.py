@@ -370,16 +370,25 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
             if path == "/api/simulate" and method == "POST":
                 payload = req.json()
                 smiles = payload.get("smiles", [])
-                job = st.jobs.submit("simulate", simulate_job(smiles, payload.get("sample_ids")))
+                try:
+                    job = st.jobs.submit("simulate", simulate_job(smiles, payload.get("sample_ids")))
+                except jobs_mod.QueueFullError as e:
+                    return _json_resp(start_response, {"error": str(e)}, "429 Too Many Requests")
                 return _json_resp(start_response, job.to_dict(), "202 Accepted")
 
             if path == "/api/evaluate" and method == "POST":
                 payload = req.json()
-                job = st.jobs.submit("evaluate", evaluate_job(payload.get("source", "sim"), payload))
+                try:
+                    job = st.jobs.submit("evaluate", evaluate_job(payload.get("source", "sim"), payload))
+                except jobs_mod.QueueFullError as e:
+                    return _json_resp(start_response, {"error": str(e)}, "429 Too Many Requests")
                 return _json_resp(start_response, job.to_dict(), "202 Accepted")
 
             if path == "/api/improve" and method == "POST":
-                job = st.jobs.submit("improve", improve_job(req.json()))
+                try:
+                    job = st.jobs.submit("improve", improve_job(req.json()))
+                except jobs_mod.QueueFullError as e:
+                    return _json_resp(start_response, {"error": str(e)}, "429 Too Many Requests")
                 return _json_resp(start_response, job.to_dict(), "202 Accepted")
 
             if path == "/api/jobs" and method == "GET":
@@ -401,6 +410,13 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
                         cursor = 0
                         while True:
                             lines, cursor, finished = job.wait_lines(cursor, timeout=15.0)
+                            if not lines and not finished:
+                                # keepalive comment: makes the write fail
+                                # fast on a dead socket so a disconnected
+                                # client's thread is reclaimed instead of
+                                # pinning the server until the job ends
+                                yield b": keepalive\n\n"
+                                continue
                             for ln in lines:
                                 yield f"data: {ln}\n\n".encode()
                             if finished:

@@ -92,6 +92,10 @@ class Job:
         return d
 
 
+class QueueFullError(RuntimeError):
+    """submit() refused: every retained job is still pending/running."""
+
+
 class JobQueue:
     """FIFO job queue served by a pool of worker threads.
 
@@ -120,13 +124,18 @@ class JobQueue:
         logging/cancellation checks."""
         job = Job(job_id=uuid.uuid4().hex[:12], kind=kind)
         with self._wake:
-            if len(self._order) >= self._max_jobs:
-                # drop oldest finished job
+            while len(self._order) >= self._max_jobs:
+                # drop oldest finished job; if every retained job is still
+                # pending/running, refuse rather than grow without bound
                 for jid in list(self._order):
                     if self._jobs[jid].status in (DONE, FAILED, CANCELLED):
                         self._order.remove(jid)
                         del self._jobs[jid]
                         break
+                else:
+                    raise QueueFullError(
+                        f"job queue full ({self._max_jobs} unfinished jobs)"
+                    )
             self._jobs[job.job_id] = job
             self._order.append(job.job_id)
             self._pending.append((job.job_id, fn))
@@ -156,19 +165,26 @@ class JobQueue:
                 job_id, fn = self._pending.pop(0)
                 job = self._jobs[job_id]
             if job.cancelled:
-                job.status = CANCELLED
-                job.finished = time.time()
-                continue
-            job.status = RUNNING
-            job.started = time.time()
-            try:
-                job.result = fn(job)
-                job.status = CANCELLED if job.cancelled else DONE
-            except Exception:
-                job.error = traceback.format_exc(limit=20)
-                job.status = FAILED
-                job.log("ERROR: " + job.error.splitlines()[-1])
-            finally:
-                job.finished = time.time()
                 with job._cond:
+                    job.status = CANCELLED
+                    job.finished = time.time()
+                    job._cond.notify_all()
+                continue
+            with job._cond:
+                job.status = RUNNING
+                job.started = time.time()
+            try:
+                result = fn(job)
+                with job._cond:
+                    job.result = result
+                    job.status = CANCELLED if job.cancelled else DONE
+            except Exception:
+                err = traceback.format_exc(limit=20)
+                with job._cond:
+                    job.error = err
+                    job.status = FAILED
+                job.log("ERROR: " + err.splitlines()[-1])
+            finally:
+                with job._cond:
+                    job.finished = time.time()
                     job._cond.notify_all()

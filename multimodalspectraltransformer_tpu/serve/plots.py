@@ -146,9 +146,9 @@ def plot_ir(
     sets = [np.asarray(spectrum, dtype=float).ravel()]
     if overlay is not None:
         sets.append(np.asarray(overlay, dtype=float).ravel())
-    n = max(len(s) for s in sets)
     wn0, wn1 = 400.0, 4000.0
-    ymax = max(float(np.nanmax(s)) for s in sets if len(s)) or 1.0
+    # empty spectra draw empty axes instead of raising (max of no args)
+    ymax = max((float(np.nanmax(s)) for s in sets if len(s)), default=1.0) or 1.0
     parts, to_px = _axes(wn0, wn1, 0.0, ymax * 1.05, "wavenumber (cm-1)", "absorbance", title)
     for si, s in enumerate(sets):
         if not len(s):

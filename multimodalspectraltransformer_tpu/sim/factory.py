@@ -121,14 +121,29 @@ class ShiftStats:
     std_h: float = 2.0
 
 
+def _apply_model(model, params, nodes, adj, mask):
+    return model.apply({"params": params}, nodes, adj, mask)
+
+
+# module-level jit keyed on the (hashable flax) module: a fresh
+# jax.jit(lambda ...) per call would be a new cache entry every time and
+# recompile the GNN on every simulate_records invocation
+_apply_model_jit = None
+
+
+def _jitted_apply(model, params, nodes, adj, mask):
+    global _apply_model_jit
+    if _apply_model_jit is None:
+        import jax
+
+        _apply_model_jit = jax.jit(_apply_model, static_argnums=(0,))
+    return _apply_model_jit(model, params, nodes, adj, mask)
+
+
 def predict_shifts_gnn(params, model, graphs, stats: ShiftStats) -> list[AtomShifts]:
     """Batched shift prediction via NMRShiftModel (denormalized to ppm)."""
-    import jax
-
     batch = batch_graphs(graphs)
-    c_n, h_n = jax.jit(lambda p, n, a, m: model.apply({"params": p}, n, a, m))(
-        params, batch["nodes"], batch["adj"], batch["node_mask"]
-    )
+    c_n, h_n = _jitted_apply(model, params, batch["nodes"], batch["adj"], batch["node_mask"])
     c = np.asarray(c_n) * stats.std_c + stats.mean_c
     h = np.asarray(h_n) * stats.std_h + stats.mean_h
     out = []
@@ -175,13 +190,9 @@ def simulate_records(
 
     ir_specs: Optional[np.ndarray] = None
     if ir_params is not None and ir_model is not None:
-        import jax
-
         batch = batch_graphs(graphs)
         ir_specs = np.asarray(
-            jax.jit(lambda p, n, a, m: ir_model.apply({"params": p}, n, a, m))(
-                ir_params, batch["nodes"], batch["adj"], batch["node_mask"]
-            )
+            _jitted_apply(ir_model, ir_params, batch["nodes"], batch["adj"], batch["node_mask"])
         )
 
     records = []

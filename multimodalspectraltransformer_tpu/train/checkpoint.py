@@ -30,6 +30,12 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self._dir, options=options)
 
+    def should_save(self, step: int) -> bool:
+        """Whether `save` at this step would actually write (the interval
+        gate) — lets callers skip materializing metrics (a device sync)
+        for steps that won't save."""
+        return bool(self._mgr.should_save(step))
+
     def save(self, state: TrainState, metrics: Optional[dict] = None) -> bool:
         step = int(state.step)
         return self._mgr.save(

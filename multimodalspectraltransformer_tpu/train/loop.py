@@ -58,29 +58,60 @@ class MetricsLogger:
             self._f.close()
 
 
+class _PrefetchError:
+    """Carrier for a worker-thread exception (batches are NamedTuples, so a
+    wrapper class keeps the sentinel unambiguous)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def _prefetch(iterator, put_batch, depth: int = 2):
     """Device-put batches `depth` ahead on a worker thread so host->device
-    transfer (slow on remote backends) overlaps the previous step."""
+    transfer (slow on remote backends) overlaps the previous step.
+
+    Worker exceptions are re-raised in the consumer (a silently-dying
+    worker would otherwise truncate the epoch as if it completed), and
+    abandoning the generator (e.g. max_steps break) unblocks and stops the
+    worker instead of leaking a thread parked on a full queue."""
     import queue as queue_mod
     import threading
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
     END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(put_batch(item))
-        finally:
-            q.put(END)
+                if not _put(put_batch(item)):
+                    return
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            _put(_PrefetchError(e))
+            return
+        _put(END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            if isinstance(item, _PrefetchError):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()
 
 
 @dataclass
@@ -158,8 +189,10 @@ def run_training(
                         "token_accuracy": float(m.token_accuracy),
                         "grad_norm": float(m.grad_norm),
                     })
-                if manager is not None:
-                    manager.save(state, metrics={"loss": train_loss})
+                if manager is not None and manager.should_save(step_count):
+                    # metrics carry the CURRENT loss (a device sync — only
+                    # paid on steps that actually save)
+                    manager.save(state, metrics={"loss": float(m.loss)})
                 if gen_metrics_every and step_count % gen_metrics_every == 0:
                     gm = generation_metrics(model, cfg, state.params, b, step_count)
                     logger.log({"step": step_count, **gm})

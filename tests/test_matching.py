@@ -96,3 +96,23 @@ def test_batched_assignment_error_agrees_with_host():
     for i, c in enumerate(cands_raw):
         host = matching.spectral_error(_peaks(10, 14), c, "hung_dist_zero")
         assert dev[i] == pytest.approx(host, abs=5e-3), i
+
+
+def test_auction_owner_is_permutation_and_matches_scipy():
+    """Regression: the owns bitmap must not let unowned objects' -1
+    sentinels clobber bidder 0's ownership (a duplicate-index scatter bug
+    that produced sub-optimal 'costs' from non-permutation assignments)."""
+    import jax.numpy as jnp
+    from scipy.optimize import linear_sum_assignment
+
+    from multimodalspectraltransformer_tpu.rank.matching import auction_assignment_cost
+
+    rng = np.random.RandomState(0)
+    for trial in range(30):
+        cost = rng.rand(4, 10, 10).astype(np.float32)
+        total = np.asarray(auction_assignment_cost(jnp.asarray(cost), n_iters=400))
+        for b in range(4):
+            ref = cost[b][linear_sum_assignment(cost[b])].sum()
+            # never below the optimum, and within N*eps above it
+            assert total[b] >= ref - 1e-5, (trial, b, total[b], ref)
+            assert total[b] <= ref + 10 * 1e-4 + 1e-5, (trial, b, total[b], ref)
