@@ -364,6 +364,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat CLI runs skip minutes of XLA compiles
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

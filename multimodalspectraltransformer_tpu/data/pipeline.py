@@ -31,6 +31,8 @@ import random
 from dataclasses import dataclass, field
 from typing import Iterator, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..chem import api as chem
@@ -354,6 +356,68 @@ class Loader:
                 buf = []
         if buf and not self.drop_remainder:
             yield collate(buf)
+
+    # ---- device-resident dataset -----------------------------------------
+    #
+    # The host->device path uploads every batch (slow on remote backends:
+    # ~2 MB/s through a tunnel = hundreds of ms per batch, dominating the
+    # train step). When featurization is deterministic and the dataset
+    # fits, featurize + collate EVERYTHING once, park it on the device,
+    # and assemble each step's batch with an on-device gather driven by a
+    # tiny (batch_size * 4 B) index upload. TPU-idiomatic: static shapes,
+    # one executable, data stays in HBM.
+
+    def device_dataset(self, max_bytes: int = 2 << 30):
+        """One TrainBatch holding every featurizable record, device_put.
+
+        Returns None when featurization is stochastic (augmentation needs
+        fresh host features each epoch) or the dataset exceeds
+        ``max_bytes``. Cached after the first call."""
+        if self._stochastic():
+            return None
+        cached = getattr(self, "_device_dataset", None)
+        if cached is not None:
+            return cached
+        feats, kept_smiles = [], []
+        for r in self.records:
+            f = featurize(r, self.mcfg, self.opts)
+            if f is not None:
+                feats.append(f)
+                kept_smiles.append(r.smiles)
+        if not feats:
+            return None
+        big = collate(feats)
+        nbytes = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(big))
+        if nbytes > max_bytes:
+            return None
+        self._device_kept_smiles = kept_smiles
+        self._device_dataset = jax.tree_util.tree_map(jnp.asarray, big)
+        return self._device_dataset
+
+    def epoch_row_batches(self, epoch: int) -> Iterator[np.ndarray]:
+        """Per-batch row-index arrays into device_dataset(), using the same
+        ordering strategy / seed / host sharding as `epoch`. (Rows index the
+        FEATURIZABLE records, so compositions can differ from the host path
+        only when some records fail featurization.)"""
+        from . import samplers
+
+        smiles = getattr(self, "_device_kept_smiles", None)
+        assert smiles is not None, "call device_dataset() first"
+        order = samplers.epoch_order(
+            self.order_strategy, smiles, self.batch_size, self.seed, epoch
+        )
+        order = order[self.host_id :: self.host_count]
+        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            yield np.asarray(order[i : i + self.batch_size], np.int32)
+        rem = len(order) % self.batch_size
+        if rem and not self.drop_remainder:
+            yield np.asarray(order[-rem:], np.int32)
+
+
+@jax.jit
+def gather_rows(dataset, idx: jax.Array):
+    """On-device batch assembly: rows `idx` of every dataset leaf."""
+    return jax.tree_util.tree_map(lambda x: x[idx], dataset)
 
 
 # --------------------------------------------------------------------------

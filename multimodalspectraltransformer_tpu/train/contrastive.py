@@ -61,6 +61,10 @@ class ContrastiveConfig:
     order_strategy: str = "weight_sorted"  # hard negatives (reference default)
     temperature: float = 1.0
     max_steps: int = 0
+    # metrics materialization cadence: every float(loss) is a device sync
+    # (a full RPC round trip on remote backends) — same gating as the MMT
+    # training loop's log_every
+    log_every: int = 1
 
 
 def train_contrastive(
@@ -166,10 +170,11 @@ def train_contrastive(
                     fp, memory, kpm, sub,
                 )
                 step_count += 1
-                logger.log({
-                    "step": step_count, "epoch": epoch,
-                    f"{loss_fn_name}_loss": float(loss),
-                })
+                if step_count % ccfg.log_every == 0:
+                    logger.log({
+                        "step": step_count, "epoch": epoch,
+                        f"{loss_fn_name}_loss": float(loss),
+                    })
                 if ccfg.max_steps and step_count >= ccfg.max_steps:
                     raise StopIteration
     except StopIteration:

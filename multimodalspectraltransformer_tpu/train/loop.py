@@ -136,6 +136,10 @@ def run_training(
     max_steps: int = 0,  # 0 = run num_epochs
     log_every: int = 1,  # metrics materialization cadence: every float()
     # forces a device sync (a full RPC round trip on remote backends)
+    device_data: Optional[bool] = None,  # None = auto (single-device, no
+    # augmentation, dataset fits): park the featurized dataset in HBM once
+    # and assemble batches with an on-device gather — removes the per-step
+    # host->device batch upload from the critical path entirely
 ) -> TrainResult:
     """Train the MMT. Single- or multi-device (pass a mesh for DP/TP)."""
     model = mmt.MultimodalTransformer(cfg.model)
@@ -154,6 +158,12 @@ def run_training(
         put_batch = lambda b: jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bs), b)
     else:
         put_batch = lambda b: jax.tree.map(jnp.asarray, b)
+
+    dd = None
+    if (device_data or (device_data is None and mesh is None)) and hasattr(
+        train_loader, "device_dataset"
+    ):
+        dd = train_loader.device_dataset()
 
     state = create_state(cfg.train, params)
     manager = None
@@ -176,7 +186,16 @@ def run_training(
         for epoch in range(cfg.train.num_epochs):
             if done:
                 break
-            for b in _prefetch(train_loader.epoch(epoch), put_batch):
+            if dd is not None:
+                from ..data import pipeline as dp_mod
+
+                batch_iter = (
+                    dp_mod.gather_rows(dd, jnp.asarray(idx))
+                    for idx in train_loader.epoch_row_batches(epoch)
+                )
+            else:
+                batch_iter = _prefetch(train_loader.epoch(epoch), put_batch)
+            for b in batch_iter:
                 state, m = train_step(model, cfg, state, b, rng)
                 step_count += 1
                 if step_count % log_every == 0:

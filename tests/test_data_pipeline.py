@@ -5,6 +5,7 @@ and CSV round-trip."""
 import os
 import random
 
+import jax
 import numpy as np
 
 from multimodalspectraltransformer_tpu.data import pipeline as dp
@@ -153,3 +154,34 @@ def test_hsqc_noise_pollution():
     out = pollute_hsqc(peaks, opts2, random.Random(3))
     for p in out[2:]:
         assert p == [1.5, 30.0]
+
+
+def test_device_dataset_matches_host_loader():
+    """The device-resident dataset + on-device gather must assemble the
+    exact batches the host loader produces (deterministic featurization)."""
+    import jax.numpy as jnp
+
+    from multimodalspectraltransformer_tpu.data.pipeline import gather_rows
+
+    records = dp.synthetic_dataset(24, seed=3)
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+    loader = dp.Loader(records, mcfg, batch_size=8, seed=1)
+    dd = loader.device_dataset()
+    assert dd is not None
+    host = list(loader.epoch(0))
+    rows = list(loader.epoch_row_batches(0))
+    assert len(host) == len(rows) == 3
+    for hb, idx in zip(host, rows):
+        db = gather_rows(dd, jnp.asarray(idx))
+        for a, b in zip(jax.tree_util.tree_leaves(hb), jax.tree_util.tree_leaves(db)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_dataset_declined_when_stochastic():
+    records = dp.synthetic_dataset(8, seed=3)
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+    loader = dp.Loader(
+        records, mcfg, batch_size=4,
+        opts=dp.FeaturizeOptions(blank_percentage=0.3),
+    )
+    assert loader.device_dataset() is None
