@@ -121,6 +121,7 @@ def cmd_train(args) -> int:
         checkpoint_dir=os.path.join(args.out, "ckpt"),
         seed=args.seed, max_steps=args.steps,
         gen_metrics_every=args.gen_metrics_every,
+        log_every=getattr(args, "log_every", 1),
     )
     ckpt.export_params_msgpack(result.state.params, os.path.join(args.out, "params.msgpack"))
     print(json.dumps({
@@ -305,6 +306,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--gen-metrics-every", type=int, default=0)
     sp.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (fp32 master params) — ~2x step throughput")
+    sp.add_argument("--log-every", type=int, default=10,
+                    help="metrics cadence; every log forces a device sync")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("evaluate", help="run the evaluation harness")
