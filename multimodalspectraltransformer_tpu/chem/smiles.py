@@ -25,7 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from .elements import AROMATIC_OK, DEFAULT_VALENCES, MASSES, ORGANIC_SUBSET
+from .elements import AROMATIC_OK, DEFAULT_VALENCES, MASSES
 
 
 class SmilesError(ValueError):

@@ -39,7 +39,7 @@ from ..chem import api as chem
 from ..chem import tokenizer
 from ..models.mmt import MMTBatch
 from ..train.step import TrainBatch
-from ..utils.config import DataConfig, ModelConfig
+from ..utils.config import ModelConfig
 
 MODALITY_KEYS = ("1H", "13C", "HSQC", "COSY")
 

@@ -15,8 +15,8 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +29,12 @@ from ..chem import api as chem
 if TYPE_CHECKING:  # type-only: data.pipeline imports train.step (cycle)
     from ..data.pipeline import Loader
 from ..models import mmt
-from ..parallel import batch_sharding, make_mesh, param_shardings
+from ..parallel import batch_sharding, param_shardings
 from ..utils import vocab
 from ..utils.config import MMTConfig
 from . import checkpoint as ckpt_mod
 from .state import TrainState, create_state, update_plateau
-from .step import StepMetrics, eval_step, train_step
+from .step import eval_step, train_step
 
 
 class MetricsLogger:

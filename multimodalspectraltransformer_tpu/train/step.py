@@ -10,7 +10,7 @@ all-reduce over ICI automatically. No process groups, no NCCL, no Lightning.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

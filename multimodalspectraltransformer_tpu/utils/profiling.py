@@ -20,7 +20,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import defaultdict
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 
