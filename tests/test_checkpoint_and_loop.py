@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalspectraltransformer_tpu.data import pipeline as dp
 from multimodalspectraltransformer_tpu.models import mmt
@@ -144,3 +145,46 @@ def test_generation_metrics_aux_terms():
         assert key in gm
     assert 0.0 <= gm["gen_validity"] <= 1.0
     assert gm["aux_loss_total"] >= 0.0
+
+
+def test_prefetch_propagates_worker_exception():
+    """A loader/device-put error on the prefetch worker must re-raise in
+    the consumer, not silently end the epoch (review regression)."""
+    from multimodalspectraltransformer_tpu.train.loop import _prefetch
+
+    def bad_iter():
+        yield 1
+        yield 2
+        raise RuntimeError("loader exploded")
+
+    got = []
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        for item in _prefetch(bad_iter(), lambda x: x * 10):
+            got.append(item)
+    assert got == [10, 20]
+
+
+def test_prefetch_abandonment_stops_worker():
+    """Breaking out of the consumer (max_steps) must unblock and stop the
+    worker thread instead of leaking it on a full queue."""
+    import threading
+    import time as time_mod
+
+    from multimodalspectraltransformer_tpu.train.loop import _prefetch
+
+    produced = []
+
+    def slow_iter():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    gen = _prefetch(slow_iter(), lambda x: x, depth=2)
+    assert next(gen) == 0
+    n_before = threading.active_count()
+    gen.close()  # abandon: triggers the generator's finally -> stop event
+    deadline = time_mod.time() + 5.0
+    while threading.active_count() > n_before - 1 and time_mod.time() < deadline:
+        time_mod.sleep(0.05)
+    # worker stopped well short of the 1000-item iterator
+    assert len(produced) < 50

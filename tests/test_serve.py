@@ -165,3 +165,42 @@ def test_model_route(server):
     base, state = server
     out = _post(base + "/api/model", {"preset": "small"})
     assert out["ok"] and out["layers"] == 2
+
+
+def test_job_queue_full_and_cancel_pending_wakeup():
+    """Queue refuses submissions once every retained job is unfinished
+    (QueueFullError -> HTTP 429 upstream), and cancelling a pending job
+    wakes wait_lines immediately instead of sleeping the full timeout."""
+    import time as time_mod
+
+    from multimodalspectraltransformer_tpu.serve import jobs as jobs_mod
+
+    gate = []
+
+    def blocker(job):
+        while not gate:
+            time_mod.sleep(0.01)
+        return "done"
+
+    q = jobs_mod.JobQueue(workers=1, max_jobs=3)
+    try:
+        running = q.submit("a", blocker)
+        pending1 = q.submit("b", blocker)
+        q.submit("c", blocker)
+        with pytest.raises(jobs_mod.QueueFullError):
+            q.submit("d", blocker)
+
+        # cancel a PENDING job; a waiter must wake well under the timeout
+        t0 = time_mod.time()
+        pending1.cancel()
+        # let the worker reach it: release the running job
+        gate.append(1)
+        _lines, _cur, finished = pending1.wait_lines(0, timeout=10.0)
+        assert time_mod.time() - t0 < 8.0
+        deadline = time_mod.time() + 5.0
+        while pending1.status != jobs_mod.CANCELLED and time_mod.time() < deadline:
+            time_mod.sleep(0.02)
+        assert pending1.status == jobs_mod.CANCELLED
+    finally:
+        gate.append(1)
+        q.shutdown()
