@@ -133,15 +133,42 @@ def symmetry_classes(mol: Mol) -> Sequence[int]:
     return result
 
 
+def _bare_bond_order_sum(mol: Mol, i: int) -> float:
+    """bond_order_sum as a RE-PARSER sees the atom when written WITHOUT
+    brackets: explicit_h is then unset, so the pyrrole-type aromatic-N/P
+    branch triggers only on degree 3. Using mol.bond_order_sum here (which
+    consults the CURRENT atom's explicit_h) wrongly concluded a bare 'n'
+    reproduces pyrrole's NH — the re-parse actually takes the pyridine
+    branch and drops the hydrogen (c1cc[nH]c1 -> 'c1cccn1', MF/MW/FP of
+    every NH-aromatic molecule off by one H)."""
+    a = mol.atoms[i]
+    total = 0.0
+    n_arom = 0
+    for bi in mol.adjacency[i]:
+        b = mol.bonds[bi]
+        if b.aromatic:
+            n_arom += 1
+        else:
+            total += b.order
+    if n_arom:
+        if a.aromatic and a.symbol in ("O", "S", "Se", "Te"):
+            total += n_arom
+        elif a.aromatic and a.symbol in ("N", "P") and mol.degree(i) == 3:
+            total += n_arom
+        else:
+            total += n_arom + 1
+    return total
+
+
 def _needs_brackets(mol: Mol, i: int) -> bool:
     a = mol.atoms[i]
     if a.symbol not in ORGANIC_SUBSET or a.charge != 0 or a.isotope:
         return True
     if a.explicit_h >= 0:
         # bracket-specified H: write brackets unless a bare atom would get
-        # the same implicit count from valence rules
+        # the same implicit count back from the re-parser's valence rules
         vals = DEFAULT_VALENCES.get(a.symbol, ())
-        bos = mol.bond_order_sum(i)
+        bos = _bare_bond_order_sum(mol, i)
         default_h = 0
         for v in vals:
             if bos <= v:

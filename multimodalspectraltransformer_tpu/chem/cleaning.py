@@ -48,6 +48,8 @@ def clean_smiles(smiles: str) -> Optional[str]:
     if can is None or not passes_filters(can):
         return None
     stripped = remove_stereo(can)
+    if stripped == can:  # this framework's canonical output carries no
+        return can       # stereo tokens, so re-canonicalizing is a no-op
     return chem.canonicalize(stripped)
 
 
@@ -59,7 +61,8 @@ def clean_smiles_list(smiles_list: Sequence[str]) -> list[str]:
     for can in canons:
         if can is None or not passes_filters(can):
             continue
-        cleaned = chem.canonicalize(remove_stereo(can))
+        stripped = remove_stereo(can)
+        cleaned = can if stripped == can else chem.canonicalize(stripped)
         if cleaned is not None:
             out.append(cleaned)
     return out

@@ -72,9 +72,19 @@ def load_spectra_csvs(
 ) -> list[SampleRecord]:
     """Load reference-format CSVs into joined per-sample records
     (reference `_load_sgnn_data`, `dataloaders_pl_v15_4.py:210-264`)."""
+    cache_key = {"1h": csv_1h, "13c": csv_13c, "hsqc": csv_hsqc,
+                 "cosy": csv_cosy, "ir": ir_folder, "limit": limit}
     if pickle_cache and os.path.exists(pickle_cache):
         with open(pickle_cache, "rb") as f:
-            return pickle.load(f)
+            payload = pickle.load(f)
+        # legacy caches stored a bare list; keyed caches validate that the
+        # inputs match (a cache written for other CSVs/limit must not be
+        # silently returned for this request)
+        if isinstance(payload, dict) and "records" in payload:
+            if payload.get("key") == cache_key:
+                return payload["records"]
+        elif isinstance(payload, list):
+            return payload
 
     import pandas as pd
 
@@ -117,7 +127,7 @@ def load_spectra_csvs(
 
     if pickle_cache:
         with open(pickle_cache, "wb") as f:
-            pickle.dump(records, f)
+            pickle.dump({"key": cache_key, "records": records}, f)
     return records
 
 
@@ -265,8 +275,10 @@ def featurize(
             out["src_13c"], out["mask_13c"] = _pad_points(pts, P, 1)
 
     out["src_mf"], out["mask_mf"] = tokenizer.encode_mf_framed(mf, mcfg.mf_len)
-    trg, ms_mask = tokenizer.encode_smiles_framed(c_smi, mcfg.spectrum_points)
-    out["src_ms"], out["mask_ms"] = trg.copy(), ms_mask
+    # the MS hint has its own declared length (ModelConfig.ms_len drives the
+    # encoder's static layout); the decoder target frames to spectrum_points
+    out["src_ms"], out["mask_ms"] = tokenizer.encode_smiles_framed(c_smi, mcfg.ms_len)
+    trg, _trg_mask = tokenizer.encode_smiles_framed(c_smi, mcfg.spectrum_points)
     out["mw"] = np.float32(mw)
     out["trg_tokens"] = trg.astype(np.int32)
     out["trg_fp"] = fp.astype(np.float32)
@@ -441,6 +453,16 @@ def random_smiles(rng: random.Random, max_frags: int = 4) -> str:
     return can if can is not None else "CCO"
 
 
+def _env_hash(*vals) -> float:
+    """Process-stable pseudo-shift in [0, 1): Python's hash() is salted per
+    interpreter (PYTHONHASHSEED), which silently made the "deterministic"
+    fixtures differ between runs."""
+    import hashlib
+
+    digest = hashlib.sha256("|".join(map(str, vals)).encode()).digest()
+    return int.from_bytes(digest[:4], "little") % 1000 / 1000.0
+
+
 def synthetic_record(rng: random.Random, sample_id: str) -> SampleRecord:
     """Deterministic pseudo-spectra derived from the molecule's own
     structure (hash-based shifts): good enough for pipeline/overfit tests
@@ -451,7 +473,7 @@ def synthetic_record(rng: random.Random, sample_id: str) -> SampleRecord:
     mol = parse_smiles(smi)
     h1, c13, hsqc, cosy = [], [], [], []
     for i, a in enumerate(mol.atoms):
-        env = (hash((a.symbol, mol.degree(i), mol.total_h(i), a.aromatic)) % 1000) / 1000.0
+        env = _env_hash(a.symbol, mol.degree(i), mol.total_h(i), a.aromatic)
         if a.symbol == "C":
             c_shift = 10 + env * 180
             c13.append(round(c_shift, 2))
@@ -464,10 +486,10 @@ def synthetic_record(rng: random.Random, sample_id: str) -> SampleRecord:
     for b in mol.bonds:
         a1, a2 = mol.atoms[b.a1], mol.atoms[b.a2]
         if a1.symbol == "C" and a2.symbol == "C" and mol.total_h(b.a1) and mol.total_h(b.a2):
-            e1 = (hash((a1.symbol, mol.degree(b.a1), mol.total_h(b.a1), a1.aromatic)) % 1000) / 1000.0
-            e2 = (hash((a2.symbol, mol.degree(b.a2), mol.total_h(b.a2), a2.aromatic)) % 1000) / 1000.0
+            e1 = _env_hash(a1.symbol, mol.degree(b.a1), mol.total_h(b.a1), a1.aromatic)
+            e2 = _env_hash(a2.symbol, mol.degree(b.a2), mol.total_h(b.a2), a2.aromatic)
             cosy.append([round(0.5 + e1 * 8, 2), round(0.5 + e2 * 8, 2)])
-    ir = np.abs(np.sin(np.linspace(0, 20, 1801) * (1 + (hash(smi) % 7))))
+    ir = np.abs(np.sin(np.linspace(0, 20, 1801) * (1 + int(_env_hash(smi) * 7000) % 7)))
     return SampleRecord(sample_id, smi, h1=h1 or None, c13=c13 or None, hsqc=hsqc or None, cosy=cosy or None, ir=ir)
 
 

@@ -133,21 +133,23 @@ def cluster_plot_html(
     label_list = list(labels) if labels is not None else ["all"] * len(smiles_list)
     uniq = sorted(set(label_list))
     color_of = {lab: _PALETTE[i % len(_PALETTE)] for i, lab in enumerate(uniq)}
+    from html import escape
+
     pts = []
     for (x, y), smi, lab in zip(c, smiles_list, label_list):
         px = m + (x - lo[0]) / span[0] * (w - 2 * m)
         py = h - m - (y - lo[1]) / span[1] * (h - 2 * m)
         pts.append(
             f'<circle cx="{px:.1f}" cy="{py:.1f}" r="4.5" fill="{color_of[lab]}" opacity="0.75">'
-            f"<title>{smi} | {lab}</title></circle>"
+            f"<title>{escape(str(smi))} | {escape(str(lab))}</title></circle>"
         )
     legend = "".join(
-        f'<div><span style="display:inline-block;width:10px;height:10px;background:{color_of[u]}"></span> {u}</div>'
+        f'<div><span style="display:inline-block;width:10px;height:10px;background:{color_of[u]}"></span> {escape(str(u))}</div>'
         for u in uniq[:20]
     )
     html = (
         "<!doctype html><html><head><meta charset='utf-8'>"
-        f"<title>{title}</title></head><body><h3>{title}</h3>"
+        f"<title>{escape(str(title))}</title></head><body><h3>{escape(str(title))}</h3>"
         f'<svg width="{w}" height="{h}" style="border:1px solid #ccc">'
         + "".join(pts) + "</svg>" + legend + "</body></html>"
     )

@@ -665,13 +665,43 @@ static std::vector<int> symmetry_classes_of(const Mol& mol) {
 // SMILES writer (mirror of chem/canonical.py:write_smiles, ranks mode only)
 // ---------------------------------------------------------------------------
 
+// bond_order_sum as a RE-PARSER sees the atom when written WITHOUT
+// brackets (explicit_h unset): the pyrrole-type aromatic-N/P branch then
+// triggers only on degree 3 (mirror of chem/canonical.py
+// _bare_bond_order_sum — keeps [nH] bracketed so pyrrole round-trips).
+static double bare_bond_order_sum(const Mol& mol, int i) {
+  const Atom& a = mol.atoms[i];
+  double total = 0.0;
+  int n_arom = 0;
+  for (int bi : mol.adjacency[i]) {
+    const Bond& b = mol.bonds[bi];
+    if (b.aromatic)
+      n_arom++;
+    else
+      total += b.order;
+  }
+  if (n_arom) {
+    bool os_like = a.symbol == "O" || a.symbol == "S" || a.symbol == "Se" ||
+                   a.symbol == "Te";
+    bool np_like = a.symbol == "N" || a.symbol == "P";
+    if (a.aromatic && os_like) {
+      total += n_arom;
+    } else if (a.aromatic && np_like && mol.degree(i) == 3) {
+      total += n_arom;
+    } else {
+      total += n_arom + 1;
+    }
+  }
+  return total;
+}
+
 static bool needs_brackets(const Mol& mol, int i) {
   const Atom& a = mol.atoms[i];
   if (!is_organic_subset(a.symbol) || a.charge != 0 || a.isotope) return true;
   if (a.explicit_h >= 0) {
     std::vector<int> vals;
     default_valences(a.symbol, &vals);
-    double bos = mol.bond_order_sum(i);
+    double bos = bare_bond_order_sum(mol, i);
     int default_h = 0;
     for (int v : vals) {
       if (bos <= (double)v) {

@@ -303,11 +303,6 @@ class MMTConfig:
         return dataclasses.replace(self, **kw)
 
 
-def _filter_kwargs(cls: type, d: Mapping[str, Any]) -> dict[str, Any]:
-    names = {f.name for f in dataclasses.fields(cls)}
-    return {k: v for k, v in d.items() if k in names}
-
-
 def from_reference_json(path_or_dict: str | Mapping[str, Any]) -> MMTConfig:
     """Build an MMTConfig from a reference-style flat config JSON
     (dict of singleton lists, `config_V8.json`). Only fields that map onto

@@ -179,3 +179,15 @@ def test_dataset_cleaning_filters():
     # batch keeps order, drops failures
     batch = cleaning.clean_smiles_list(["CCO", "CP(C)C", "c1ccccc1"])
     assert batch == [cleaning.clean_smiles("CCO"), cleaning.clean_smiles("c1ccccc1")]
+
+
+def test_nh_aromatic_roundtrip_preserves_hydrogens():
+    """Regression: bare-'n' writing of pyrrole-type [nH] dropped the NH
+    hydrogen on re-parse (MF/MW/fingerprint of every NH-aromatic molecule
+    off by one H). Canonical forms must round-trip with identical MF."""
+    for smi in ["c1cc[nH]c1", "c1ccc2[nH]ccc2c1", "c1cnc[nH]1", "c1cc[nH]c1C"]:
+        can = api.canonicalize(smi)
+        assert can is not None and "[nH]" in can, (smi, can)
+        assert api.canonicalize(can) == can
+        assert api.mol_formula(can) == api.mol_formula(smi)
+        assert abs(api.exact_mol_wt(can) - api.exact_mol_wt(smi)) < 1e-6
