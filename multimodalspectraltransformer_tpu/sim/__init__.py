@@ -1,1 +1,1 @@
-from . import factory, gnn, graphs, reconstruct  # noqa: F401
+from . import factory, gnn, graphs, reconstruct, shift_rules, stereo  # noqa: F401

@@ -27,7 +27,7 @@ import numpy as np
 from ..chem import api as chem
 from ..chem.smiles import Mol, parse_smiles
 from ..data.pipeline import SampleRecord
-from . import reconstruct
+from . import reconstruct, shift_rules
 from .graphs import batch_graphs, featurize_mol
 from .reconstruct import AtomShifts
 
@@ -56,54 +56,15 @@ def filter_smiles(smiles_list: Sequence[str]) -> list[tuple[int, str]]:
 
 
 # ---------------------------------------------------------------------------
-# Empirical fallback shift model (simple additivity rules)
+# Empirical shift model (Pretsch/Grant-Paul additivity rules, sim.shift_rules)
 # ---------------------------------------------------------------------------
 
 def empirical_shifts(mol: Mol) -> AtomShifts:
-    """Chemically plausible 13C/1H shifts from local environment rules.
-    Not SGNN-accurate — a standalone default so every factory path works
-    without external weights; swap in a trained NMRShiftModel for quality."""
-    n = mol.num_atoms
-    c = np.zeros(n)
-    h = np.zeros(n)
-    for i, a in enumerate(mol.atoms):
-        if a.symbol != "C":
-            continue
-        neighbors = [mol.atoms[j].symbol for j in mol.neighbors(i)]
-        double_o = any(
-            mol.atoms[mol.bonds[bi].other(i)].symbol == "O" and mol.bonds[bi].order == 2
-            for bi in mol.adjacency[i]
-        )
-        triple = any(mol.bonds[bi].order == 3 for bi in mol.adjacency[i])
-        double = any(mol.bonds[bi].order == 2 for bi in mol.adjacency[i])
-        if double_o:
-            cs, hs = (170.0, 9.7) if "N" in neighbors or "O" in neighbors else (200.0, 9.7)
-        elif a.aromatic:
-            cs, hs = 128.0, 7.3
-            if "N" in neighbors:
-                cs += 10
-            if "O" in neighbors:
-                cs += 20
-        elif triple:
-            cs, hs = 75.0, 2.5
-        elif double:
-            cs, hs = 125.0, 5.6
-        else:
-            cs, hs = 25.0, 1.2
-            for sym in neighbors:
-                if sym == "O":
-                    cs += 40; hs += 2.3
-                elif sym == "N":
-                    cs += 25; hs += 1.5
-                elif sym in ("Cl", "Br", "I", "F"):
-                    cs += 20; hs += 1.8
-                elif sym == "S":
-                    cs += 10; hs += 1.0
-            cs += 7 * sum(1 for s in neighbors if s == "C")
-            hs += 0.25 * sum(1 for s in neighbors if s == "C")
-        c[i] = cs
-        h[i] = min(hs, 9.9)
-    return AtomShifts(c, h)
+    """13C/1H shifts from first-party additivity increment rules
+    (`sim.shift_rules.predict_shifts`; ~1-3 ppm 13C / ~0.1-0.3 ppm 1H on
+    common organics). The teacher for the trained `NMRShiftModel` and the
+    standalone default when no trained GNN weights are supplied."""
+    return shift_rules.predict_shifts(mol)
 
 
 # ---------------------------------------------------------------------------

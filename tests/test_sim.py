@@ -44,12 +44,34 @@ def test_reconstruct_13c_symmetry_dedup():
 
 
 def test_reconstruct_1h_multiplets():
-    mol = parse_smiles("CCO")  # ethanol: CH3 (triplet from CH2), CH2 (quartet)
+    """Ethanol: CH3 triplet (J=6.3 Hz, intensities 0.5/1/0.5 — reference
+    rule table `data_generation_v15_4.py:338-343`) + CH2 quartet (J=7.0,
+    2/6..4/6 — `:345-351`)."""
+    mol = parse_smiles("CCO")
     sh = factory.empirical_shifts(mol)
     peaks = reconstruct.reconstruct_1h(mol, sh)
-    assert len(peaks) >= 5  # 3 (triplet) + 4 (quartet), minus rounding dedup
-    total_intensity = sum(i for _, i in peaks)
-    assert total_intensity == pytest.approx(5.0, abs=0.1)  # CH3+CH2 protons
+    assert len(peaks) == 7  # 3 triplet + 4 quartet lines
+    triplet = sorted(peaks)[:3]
+    quartet = sorted(peaks)[3:]
+    assert [round(v, 2) for _, v in triplet] == [0.5, 1.0, 0.5]
+    assert [round(v, 2) for _, v in quartet] == pytest.approx([1 / 3, 2 / 3, 2 / 3, 1 / 3], abs=0.01)
+    # line spacing = J / 400 MHz
+    assert triplet[1][0] - triplet[0][0] == pytest.approx(6.3 / 400.0, abs=1e-3)
+    assert quartet[1][0] - quartet[0][0] == pytest.approx(7.0 / 400.0, abs=1e-3)
+
+
+def test_reconstruct_1h_toluene_aromatic():
+    """Toluene: CH3 singlet of intensity 3 at the raw shift (reference
+    `[(0,3)]` case `:287-288` + single-line no-offset rule `:680-683`);
+    ring protons couple at J_aromatic=8 Hz."""
+    mol = parse_smiles("Cc1ccccc1")
+    sh = factory.empirical_shifts(mol)
+    peaks = reconstruct.reconstruct_1h(mol, sh)
+    singlets = [(p, v) for p, v in peaks if v == 3.0]
+    assert len(singlets) == 1
+    assert singlets[0][0] == pytest.approx(float(sh.shift_h[0]), abs=1e-3)
+    aromatic = [(p, v) for p, v in peaks if p > 6.0]
+    assert len(aromatic) >= 4  # ortho doublet + meta/para triplets
 
 
 def test_reconstruct_hsqc_cosy():
@@ -60,6 +82,86 @@ def test_reconstruct_hsqc_cosy():
     cosy = reconstruct.reconstruct_cosy(mol, sh)
     # diagonal (2) + cross peaks both directions (2)
     assert len(cosy) == 4
+
+
+def test_potential_stereocenters():
+    from multimodalspectraltransformer_tpu.sim import stereo
+
+    assert stereo.potential_stereocenters(parse_smiles("CC(O)CC")) == [1]  # butan-2-ol
+    assert stereo.potential_stereocenters(parse_smiles("CCC(O)CC")) == []  # pentan-3-ol symmetric
+    assert stereo.potential_stereocenters(parse_smiles("CCO")) == []
+    # explicit tag honored even when symmetry says otherwise
+    assert 1 in stereo.potential_stereocenters(parse_smiles("C[C@H](O)CC"))
+
+
+def test_diastereotopic_ch2_detection():
+    from multimodalspectraltransformer_tpu.sim import stereo
+
+    # butan-2-ol: the CH2 (atom 3) next to the stereocenter splits
+    assert stereo.diastereotopic_ch2(parse_smiles("CC(O)CC")) == {3}
+    # hexan-3-ol CCC(O)CCC: direct CH2 neighbors (1, 4) + second-degree CH2 (5)
+    assert stereo.diastereotopic_ch2(parse_smiles("CCC(O)CCC")) == {1, 4, 5}
+    # 1-phenylethanol: stereocenter, but no CH2 anywhere -> no splits
+    assert stereo.diastereotopic_ch2(parse_smiles("CC(O)c1ccccc1")) == set()
+    # achiral molecules never split
+    assert stereo.diastereotopic_ch2(parse_smiles("CCCCC")) == set()
+
+
+def test_hsqc_diastereotopic_splitting():
+    """A diastereotopic CH2 next to a stereocenter emits TWO HSQC peaks
+    (reference `selecting_shifts`, hsqc_nmr_reconstruction_v15_4.py:533-560)
+    and the COSY cross product near the stereocenter (cosy_nmr_
+    reconstruction_v15_4.py:165-207)."""
+    mol = parse_smiles("CC(O)CC")  # butan-2-ol
+    sh = factory.empirical_shifts(mol)
+    hsqc = reconstruct.reconstruct_hsqc(mol, sh)
+    # carbons: CH3, CH(O), CH2 (split -> 2 peaks), CH3 => 5 peaks
+    assert len(hsqc) == 5
+    ch2_c = round(float(sh.shift_c[3]), 2)
+    split_rows = [(h, c) for h, c in hsqc if c == ch2_c]
+    assert len(split_rows) == 2
+    assert abs(split_rows[0][0] - split_rows[1][0]) == pytest.approx(
+        reconstruct.DIASTEREOTOPIC_DELTA_H, abs=1e-6
+    )
+    # the achiral isomer pentan-3-ol does NOT split
+    mol2 = parse_smiles("CCC(O)CC")
+    hsqc2 = reconstruct.reconstruct_hsqc(mol2, factory.empirical_shifts(mol2))
+    assert len(hsqc2) == 3  # symmetric: CH3, CH2, CH(O)
+    # COSY near the stereocenter carries both split-proton cross peaks
+    cosy = reconstruct.reconstruct_cosy(mol, sh)
+    split_h = sorted(h for h, _ in split_rows)
+    ch3_h = round(float(sh.shift_h[4]), 2)
+    for h in split_h:
+        assert (round(h, 2), ch3_h) in {(round(a, 2), round(b, 2)) for a, b in cosy}
+
+
+def test_shift_rules_literature_values():
+    """Increment rules vs hand-checked literature shifts (Pretsch tables)."""
+    from multimodalspectraltransformer_tpu.sim import shift_rules
+
+    cases = {
+        "CCO": ([18.3, 58.3], 3.0),  # ethanol, tol ppm
+        "CC(C)=O": ([30.8, 206.0, 30.8], 1.0),  # acetone
+        "Cc1ccccc1": ([21.4, 137.8, 129.2, 128.4, 125.6, 128.4, 129.2], 2.0),
+        "c1ccncc1": ([136.0, 123.8, 149.9, 149.9, 123.8], 0.5),  # pyridine
+        "C=CC": ([115.9, 133.4, 19.4], 1.0),  # propene
+    }
+    for smi, (ref_c, tol) in cases.items():
+        mol = parse_smiles(smi)
+        sh = shift_rules.predict_shifts(mol)
+        got = [float(sh.shift_c[i]) for i, a in enumerate(mol.atoms) if a.symbol == "C"]
+        for g, r in zip(got, ref_c):
+            assert abs(g - r) <= tol, (smi, got, ref_c)
+
+
+def test_lorentzian_render():
+    x, y = reconstruct.render_lorentzian([(1.0, 2.0), (3.0, 1.0)], gamma=0.01)
+    assert x.shape == y.shape == (1000,)
+    # peak maxima sit at the line positions, heights proportional to intensity
+    i1 = int(np.argmin(np.abs(x - 1.0)))
+    i3 = int(np.argmin(np.abs(x - 3.0)))
+    assert y[i1] > 1.5 * y[i3]
+    assert y[i1] == pytest.approx(y.max(), rel=0.05)
 
 
 def test_filter_smiles():
