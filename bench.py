@@ -96,25 +96,29 @@ def main_e2e() -> None:
     )
 
     reps = max(1, int(os.environ.get("BENCH_E2E_REPS", "2")))
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         results, summary = harness.evaluate_molecules(
             records, params, cfg, dcfg, clip_bundle=(cvars, ccfg), simulate_errors=True,
             clip_block=dcfg.multinom_runs, extra_candidates=extras,
         )
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    mean = sum(times) / len(times)
     mols_per_sec = len(results) / best
     print(json.dumps({
         "metric": (
             f"mols/sec/chip FULL pipeline: encode + greedy + 128-way MNS "
             f"(10 candidates, temp escalation) + filters + CLIP + simulated "
             f"HSQC/COSY spectral-error ranking ({len(results)} molecules, "
-            "untrained weights; baseline = reference V100 same pipeline 83 s/mol)"
+            f"best of {reps} reps; mean-of-reps in mols_per_sec_mean; "
+            "baseline = reference V100 same pipeline 83 s/mol)"
         ),
         "value": round(mols_per_sec, 3),
         "unit": "mols/sec/chip",
         "vs_baseline": round(mols_per_sec / BASELINE_MOLS_PER_SEC, 1),
+        "mols_per_sec_mean": round(len(results) / mean, 3),
     }))
 
 

@@ -59,6 +59,12 @@ class Bond:
 
 @dataclass
 class Mol:
+    """Molecular graph. Treated as IMMUTABLE once finalized: downstream
+    code memoizes derived data on the instance (e.g. `canonical.
+    symmetry_classes`), so in-place edits after finalize would serve stale
+    caches. Build modified molecules as new instances (see
+    `data.molrandom._graft`)."""
+
     atoms: list[Atom] = field(default_factory=list)
     bonds: list[Bond] = field(default_factory=list)
     adjacency: list[list[int]] = field(default_factory=list)  # atom -> bond indices

@@ -60,6 +60,27 @@ def _model_cfg(args):
 def _load_records(args, mcfg):
     from .data import pipeline as dp
 
+    if getattr(args, "factory", 0):
+        import pickle
+
+        from .data import molrandom
+        from .sim import factory as sim_factory
+
+        cache = getattr(args, "factory_cache", "")
+        if cache and os.path.exists(cache):
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        fseed = getattr(args, "factory_seed", -1)
+        smiles = molrandom.random_corpus(
+            args.factory, seed=fseed if fseed >= 0 else args.seed
+        )
+        records = sim_factory.simulate_records(
+            smiles, sample_ids=[f"f{i}" for i in range(len(smiles))]
+        )
+        if cache:
+            with open(cache, "wb") as f:
+                pickle.dump(records, f)
+        return records
     if args.synthetic:
         return dp.synthetic_dataset(args.synthetic, seed=args.seed)
     return dp.load_spectra_csvs(
@@ -110,7 +131,13 @@ def cmd_train(args) -> int:
     bs = max(1, min(args.batch_size, n_train))
     if bs != args.batch_size:
         print(f"note: batch size clamped to {bs} ({n_train} training records)", file=sys.stderr)
-    loader = Loader(records[:-n_val], mcfg, batch_size=bs, seed=args.seed)
+    from .data.pipeline import FeaturizeOptions
+
+    opts = FeaturizeOptions(
+        blank_percentage=getattr(args, "blank", 0.0),
+        randomize_smiles=getattr(args, "randomize_smiles", False),
+    )
+    loader = Loader(records[:-n_val], mcfg, batch_size=bs, seed=args.seed, opts=opts)
     val = Loader(records[-n_val:], mcfg, batch_size=min(bs, n_val), seed=args.seed, drop_remainder=False)
 
     os.makedirs(args.out, exist_ok=True)
@@ -282,6 +309,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--params", default="", help="params.msgpack to load")
         sp.add_argument("--torch-checkpoint", default="", help="reference .pth/.ckpt to convert")
         sp.add_argument("--synthetic", type=int, default=0, help="use N synthetic molecules")
+        sp.add_argument("--factory", type=int, default=0,
+                        help="generate N drug-like molecules and simulate real factory spectra")
+        sp.add_argument("--factory-seed", type=int, default=-1, help="corpus seed (default: --seed)")
+        sp.add_argument("--factory-cache", default="", help="pickle cache for factory records")
         sp.add_argument("--csv-1h", default="")
         sp.add_argument("--csv-13c", default="")
         sp.add_argument("--csv-hsqc", default="")
@@ -308,6 +339,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bfloat16 compute (fp32 master params) — ~2x step throughput")
     sp.add_argument("--log-every", type=int, default=10,
                     help="metrics cadence; every log forces a device sync")
+    sp.add_argument("--randomize-smiles", action="store_true",
+                    help="SMILES-randomization augmentation (reference smi_randomizer)")
+    sp.add_argument("--blank", type=float, default=0.0,
+                    help="random modality blanking percentage (reference blank_percentage)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("evaluate", help="run the evaluation harness")

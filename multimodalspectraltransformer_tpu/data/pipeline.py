@@ -398,6 +398,18 @@ class Loader:
                 kept_smiles.append(r.smiles)
         if not feats:
             return None
+        if len(feats) != len(self.records):
+            # batch compositions would silently diverge from the host path
+            # (epoch orders over all records, drops failures after
+            # batching); fall back to the host loader instead
+            import sys
+
+            print(
+                f"device_dataset: {len(self.records) - len(feats)} records "
+                "failed featurization; falling back to the host path",
+                file=sys.stderr,
+            )
+            return None
         big = collate(feats)
         nbytes = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(big))
         if nbytes > max_bytes:

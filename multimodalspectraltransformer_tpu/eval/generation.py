@@ -159,7 +159,13 @@ def generate_candidates_batch(
 
     pending = dispatch(0)
     for round_idx in range(dcfg.max_temp_rounds):
-        if dcfg.lookahead and round_idx + 1 < dcfg.max_temp_rounds:
+        # lookahead starts at round 1: a trained model usually satisfies
+        # every molecule in round 0, and an eagerly dispatched round 1
+        # would serialize a full wasted fan-out decode ahead of the
+        # harness's CLIP dispatch. Cost of the deferral: the round-0 host
+        # filter no longer overlaps round 1's decode when escalation IS
+        # needed (one filter pass, ~100 ms).
+        if dcfg.lookahead and 1 <= round_idx < dcfg.max_temp_rounds - 1:
             nxt = dispatch(round_idx + 1)  # in flight while we filter round k
         else:
             nxt = None

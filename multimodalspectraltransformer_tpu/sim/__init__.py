@@ -1,1 +1,10 @@
-from . import factory, gnn, graphs, reconstruct, shift_rules, stereo  # noqa: F401
+from . import (  # noqa: F401
+    distill,
+    factory,
+    gnn,
+    graphs,
+    ir_rules,
+    reconstruct,
+    shift_rules,
+    stereo,
+)

@@ -28,7 +28,7 @@ from ..chem import api as chem
 from ..chem.smiles import Mol, parse_smiles
 from ..data.pipeline import SampleRecord
 from . import reconstruct, shift_rules
-from .graphs import batch_graphs, featurize_mol
+from .graphs import batch_graphs
 from .reconstruct import AtomShifts
 
 MAX_MW = 550.0  # reference SGNN_size_filter
@@ -113,6 +113,58 @@ def predict_shifts_gnn(params, model, graphs, stats: ShiftStats) -> list[AtomShi
     return out
 
 
+# ---------------------------------------------------------------------------
+# default trained models (committed distilled weights, sim/weights/)
+# ---------------------------------------------------------------------------
+
+_default_shift = "unset"  # None = looked and absent; tuple = loaded
+_default_ir = "unset"
+
+
+def default_shift_model():
+    """(params, model, stats) distilled from shift_rules (sim.distill), or
+    None when no committed weights exist."""
+    global _default_shift
+    if _default_shift == "unset":
+        from . import distill
+
+        _default_shift = distill.load_shift_weights()
+    return _default_shift
+
+
+def default_ir_model():
+    global _default_ir
+    if _default_ir == "unset":
+        from . import distill
+
+        _default_ir = distill.load_ir_weights()
+    return _default_ir
+
+
+def _predict_chunked(params, model, mols, chunk: int = 256, max_nodes: int = 64):
+    """Compact-featurize + on-device densify + chunked GNN apply; returns
+    list of per-mol raw (normalized) output tuples."""
+    import jax.numpy as jnp
+
+    from .distill import densify_batch, featurize_compact
+
+    outs = [None] * len(mols)
+    compacts = [featurize_compact(m, max_nodes) for m in mols]
+    idxs = [i for i, c in enumerate(compacts) if c is not None]
+    for s in range(0, len(idxs), chunk):
+        sel = idxs[s : s + chunk]
+        pad = sel + [sel[-1]] * (chunk - len(sel))  # static batch shape
+        nodes = jnp.asarray(np.stack([compacts[i][0] for i in pad]))
+        edges = jnp.asarray(np.stack([compacts[i][1] for i in pad]))
+        n_at = jnp.asarray([compacts[i][2] for i in pad], jnp.int32)
+        dn, da, dm = densify_batch(nodes, edges, n_at, max_nodes)
+        res = _jitted_apply(model, params, dn, da, dm)
+        res = [np.asarray(r) for r in (res if isinstance(res, tuple) else (res,))]
+        for b, i in enumerate(sel):
+            outs[i] = tuple(r[b] for r in res)
+    return outs, compacts
+
+
 def simulate_records(
     smiles_list: Sequence[str],
     sample_ids: Optional[Sequence[str]] = None,
@@ -122,39 +174,66 @@ def simulate_records(
     ir_model=None,
     stats: ShiftStats = ShiftStats(),
     max_nodes: int = 64,
+    use_default_models: bool = True,
+    with_ir: bool = True,
 ) -> list[SampleRecord]:
     """Full factory: SMILES -> SampleRecords with 1H/13C/HSQC/COSY (+IR).
 
     Equivalent of `main_run_data_generation` + `run_IR_simulation`
     (`data_generation_v15_4.py:1217-1229`, `ir_simulation_v15_4.py:52-87`).
+
+    Model resolution order (per predictor): explicitly passed params+model;
+    else the committed distilled GNN weights (`sim/weights/`, the
+    SGNN/chemprop-IR replacement — `default_shift_model`); else the rule
+    teachers directly (`shift_rules`, `ir_rules`).
     """
     kept = filter_smiles(smiles_list)
     if sample_ids is None:
         sample_ids = [str(i) for i in range(len(smiles_list))]
 
-    mols, graphs, metas = [], [], []
+    from .distill import featurize_compact
+
+    mols, metas = [], []
     for idx, can in kept:
         mol = parse_smiles(can)
-        g = featurize_mol(mol, max_nodes)
-        if g is None:
+        if featurize_compact(mol, max_nodes) is None:
             continue
         mols.append(mol)
-        graphs.append(g)
         metas.append((sample_ids[idx], can))
     if not mols:
         return []
 
+    if shift_params is None and use_default_models:
+        d = default_shift_model()
+        if d is not None:
+            shift_params, shift_model, stats = d
     if shift_params is not None and shift_model is not None:
-        shifts = predict_shifts_gnn(shift_params, shift_model, graphs, stats)
+        outs, _ = _predict_chunked(shift_params, shift_model, mols, max_nodes=max_nodes)
+        shifts = []
+        for mol, o in zip(mols, outs):
+            n = mol.num_atoms
+            shifts.append(
+                AtomShifts(
+                    o[0][:n] * stats.std_c + stats.mean_c,
+                    o[1][:n] * stats.std_h + stats.mean_h,
+                )
+            )
     else:
         shifts = [empirical_shifts(m) for m in mols]
 
-    ir_specs: Optional[np.ndarray] = None
-    if ir_params is not None and ir_model is not None:
-        batch = batch_graphs(graphs)
-        ir_specs = np.asarray(
-            _jitted_apply(ir_model, ir_params, batch["nodes"], batch["adj"], batch["node_mask"])
-        )
+    ir_specs: Optional[list] = None
+    if with_ir:
+        if ir_params is None and use_default_models:
+            d = default_ir_model()
+            if d is not None:
+                ir_params, ir_model = d
+        if ir_params is not None and ir_model is not None:
+            outs, _ = _predict_chunked(ir_params, ir_model, mols, max_nodes=max_nodes)
+            ir_specs = [o[0] for o in outs]
+        else:
+            from . import ir_rules
+
+            ir_specs = [ir_rules.predict_ir(m) for m in mols]
 
     records = []
     for k, (mol, sh, (sid, can)) in enumerate(zip(mols, shifts, metas)):

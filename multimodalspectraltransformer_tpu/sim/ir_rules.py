@@ -1,0 +1,199 @@
+"""First-party empirical IR spectrum synthesis (functional-group bands).
+
+Replaces the reference's external chemprop-IR ensemble
+(`ir_simulation_v15_4.py:26-87`, checkpoints not available in this
+environment) as the factory's IR teacher. Spectra live on chemprop-IR's
+grid: 1801 points over 400-4000 cm^-1 (2 cm^-1 steps), max-normalized like
+the reference dataloader expects (`dataloaders_pl_v15_4.py:324-346`).
+
+Band positions/strengths are standard correlation-table values (stretches:
+O-H/N-H/C-H 3700-2700, C#N/C#C 2300-2100, C=O 1760-1640, aromatic ring
+1600/1500, bends and C-O/C-N fingerprints 1500-1000, oop + halogen
+400-900). Weak hash-positioned skeletal modes make the fingerprint region
+molecule-specific so spectra of similar molecules still discriminate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..chem.smiles import Mol
+from .shift_rules import (
+    _is_alkene_c,
+    _is_alkyne_c,
+    _is_carbonyl_c,
+    _is_ester_o,
+    _is_nitrile_c,
+    _is_nitro_n,
+)
+
+N_POINTS = 1801
+WN_MIN, WN_MAX = 400.0, 4000.0
+_GRID = np.linspace(WN_MIN, WN_MAX, N_POINTS)
+
+
+def _band(y: np.ndarray, center: float, width: float, height: float) -> None:
+    y += height * np.exp(-0.5 * ((_GRID - center) / width) ** 2)
+
+
+def _carbonyl_center(mol: Mol, i: int) -> float:
+    """C=O stretch frequency by carbonyl class."""
+    has_n = any(mol.atoms[j].symbol == "N" for j in mol.neighbors(i))
+    has_o_single = any(
+        mol.atoms[j].symbol == "O"
+        and mol.bond_between(i, j) is not None
+        and mol.bond_between(i, j).order == 1
+        for j in mol.neighbors(i)
+    )
+    conjugated = any(
+        mol.atoms[j].aromatic or _is_alkene_c(mol, j) for j in mol.neighbors(i)
+    )
+    if has_n:
+        base = 1660.0
+    elif has_o_single:
+        oh = any(
+            mol.atoms[j].symbol == "O" and mol.total_h(j) > 0 for j in mol.neighbors(i)
+        )
+        base = 1710.0 if oh else 1735.0
+    elif mol.total_h(i) > 0:
+        base = 1725.0
+    else:
+        base = 1715.0
+    return base - (20.0 if conjugated else 0.0)
+
+
+def predict_ir(mol: Mol) -> np.ndarray:
+    """Max-normalized 1801-point IR spectrum."""
+    y = np.zeros(N_POINTS)
+
+    n_sp3_ch = n_ar_ch = n_alkene_ch = 0
+    n_ch2 = n_ch3 = 0
+    n_ar_atoms = 0
+    n_ether_o = n_alcohol_o = n_ester_o = 0
+    n_amine_nh = n_amide_nh = 0
+    n_cn_single = 0
+
+    for i, a in enumerate(mol.atoms):
+        nh = mol.total_h(i)
+        if a.symbol == "C":
+            if a.aromatic:
+                n_ar_atoms += 1
+                n_ar_ch += nh
+                continue
+            if _is_nitrile_c(mol, i):
+                _band(y, 2240, 15, 0.45)
+                continue
+            if _is_carbonyl_c(mol, i):
+                _band(y, _carbonyl_center(mol, i), 22, 1.0)
+                if nh > 0:  # aldehyde C-H
+                    _band(y, 2720, 25, 0.25)
+                continue
+            if _is_alkyne_c(mol, i):
+                _band(y, 2120, 18, 0.15)
+                if nh > 0:
+                    _band(y, 3300, 25, 0.4)
+                continue
+            if _is_alkene_c(mol, i):
+                _band(y, 1650, 15, 0.25)
+                n_alkene_ch += nh
+                continue
+            n_sp3_ch += nh
+            if nh == 2:
+                n_ch2 += 1
+            elif nh == 3:
+                n_ch3 += 1
+        elif a.symbol == "O":
+            if _is_ester_o(mol, i):
+                n_ester_o += 1
+            elif nh > 0:
+                carboxylic = any(_is_carbonyl_c(mol, j) for j in mol.neighbors(i))
+                if carboxylic:
+                    _band(y, 3000, 250, 0.5)  # broad acid O-H
+                else:
+                    n_alcohol_o += 1
+            elif not any(
+                mol.bonds[b].order == 2 for b in mol.adjacency[i]
+            ):
+                n_ether_o += 1
+        elif a.symbol == "N":
+            if _is_nitro_n(mol, i):
+                _band(y, 1530, 25, 0.8)
+                _band(y, 1350, 25, 0.7)
+                continue
+            amide = any(_is_carbonyl_c(mol, j) for j in mol.neighbors(i))
+            if nh > 0:
+                if amide:
+                    n_amide_nh += nh
+                else:
+                    n_amine_nh += nh
+            if not a.aromatic:
+                n_cn_single += 1
+        elif a.symbol == "S":
+            # sulfone S=O
+            if sum(
+                1
+                for b in mol.adjacency[i]
+                if mol.bonds[b].order == 2
+                and mol.atoms[mol.bonds[b].other(i)].symbol == "O"
+            ) >= 2:
+                _band(y, 1350, 25, 0.7)
+                _band(y, 1150, 25, 0.8)
+            if nh > 0:
+                _band(y, 2570, 25, 0.15)
+        elif a.symbol == "Cl":
+            _band(y, 750, 30, 0.35)
+        elif a.symbol == "Br":
+            _band(y, 600, 30, 0.3)
+        elif a.symbol == "F":
+            _band(y, 1220, 35, 0.5)
+
+    if n_sp3_ch:
+        s = min(1.0, 0.25 + 0.08 * n_sp3_ch)
+        _band(y, 2930, 35, s)
+        _band(y, 2870, 30, 0.7 * s)
+    if n_ch2 or n_ch3:
+        _band(y, 1455, 25, min(0.6, 0.15 + 0.06 * (n_ch2 + n_ch3)))
+    if n_ch3:
+        _band(y, 1378, 18, min(0.5, 0.12 + 0.08 * n_ch3))
+    if n_ar_ch:
+        _band(y, 3050, 28, min(0.4, 0.1 + 0.05 * n_ar_ch))
+        # out-of-plane bends, position varies with substitution density
+        sub_ratio = 1.0 - n_ar_ch / max(n_ar_atoms, 1)
+        _band(y, 690 + 160 * sub_ratio, 30, 0.6)
+    if n_alkene_ch:
+        _band(y, 3080, 25, 0.25)
+        _band(y, 915, 25, 0.4)
+    if n_ar_atoms:
+        _band(y, 1600, 18, 0.5)
+        _band(y, 1500, 18, 0.45)
+    if n_alcohol_o:
+        _band(y, 3350, 140, min(0.8, 0.4 + 0.2 * n_alcohol_o))
+        _band(y, 1050, 35, 0.7)
+    if n_ether_o:
+        _band(y, 1100, 35, min(0.9, 0.4 + 0.2 * n_ether_o))
+    if n_ester_o:
+        _band(y, 1240, 30, 0.85)
+        _band(y, 1100, 30, 0.6)
+    if n_amine_nh:
+        _band(y, 3380, 70, 0.35)
+        if n_amine_nh >= 2:
+            _band(y, 3480, 60, 0.3)
+        _band(y, 1600, 30, 0.3)
+    if n_amide_nh:
+        _band(y, 3300, 90, 0.45)
+        _band(y, 1550, 30, 0.5)
+    if n_cn_single:
+        _band(y, 1250, 30, min(0.5, 0.2 + 0.1 * n_cn_single))
+
+    # molecule-specific weak skeletal modes in the fingerprint region:
+    # deterministic positions from hashed atom environments
+    for i, a in enumerate(mol.atoms):
+        key = f"{a.symbol}|{mol.degree(i)}|{mol.total_h(i)}|{int(a.aromatic)}|{sorted(mol.atoms[j].symbol for j in mol.neighbors(i))}"
+        hv = int.from_bytes(hashlib.sha256(key.encode()).digest()[:4], "little")
+        center = 420.0 + (hv % 1000) * 1.08  # 420-1500
+        _band(y, center, 12, 0.12)
+
+    peak = float(y.max())
+    return (y / peak) if peak > 0 else y

@@ -160,6 +160,11 @@ def run_training(
         put_batch = lambda b: jax.tree.map(jnp.asarray, b)
 
     dd = None
+    # device-dataset path requires mesh is None: gather_rows batches live
+    # unsharded on the default device, so sharded params would consume an
+    # unsharded batch (implicit transfers / layout surprises)
+    if device_data and mesh is not None:
+        raise ValueError("device_data=True is incompatible with a mesh; use the host loader")
     if (device_data or (device_data is None and mesh is None)) and hasattr(
         train_loader, "device_dataset"
     ):

@@ -238,6 +238,63 @@ def test_gnn_shift_model_learns():
     assert float(loss) < first * 0.1, (first, float(loss))
 
 
+def test_featurize_compact_densify_matches_dense():
+    """distill's int8 edge-list storage + on-device densify must reproduce
+    graphs.featurize_mol bit-for-bit."""
+    from multimodalspectraltransformer_tpu.sim import distill
+
+    smis = ["CC(=O)Oc1ccccc1C(=O)O", "CCO", "c1ccncc1", "C[C@H](O)CC#N"]
+    mols = [parse_smiles(s) for s in smis]
+    compacts = [distill.featurize_compact(m) for m in mols]
+    nodes = jnp.asarray(np.stack([c[0] for c in compacts]))
+    edges = jnp.asarray(np.stack([c[1] for c in compacts]))
+    n_at = jnp.asarray([c[2] for c in compacts], jnp.int32)
+    dn, da, dm = distill.densify_batch(nodes, edges, n_at)
+    for b, m in enumerate(mols):
+        ref = graphs.featurize_mol(m)
+        np.testing.assert_array_equal(np.asarray(dn[b]), ref.nodes)
+        np.testing.assert_array_equal(np.asarray(da[b]), ref.adj)
+        np.testing.assert_array_equal(np.asarray(dm[b]), ref.node_mask)
+
+
+def test_molrandom_corpus():
+    from multimodalspectraltransformer_tpu.chem import api as chem
+    from multimodalspectraltransformer_tpu.data import molrandom
+
+    corpus = molrandom.random_corpus(50, seed=3)
+    assert len(corpus) == 50
+    assert len(set(corpus)) == 50
+    for smi in corpus:
+        assert chem.canonicalize(smi) == smi  # emitted canonical
+        mw = chem.mol_wt(smi)
+        assert 80.0 <= mw <= 550.0
+    # deterministic in seed
+    assert molrandom.random_corpus(5, seed=3) == corpus[:5]
+
+
+def test_ir_rules_bands():
+    from multimodalspectraltransformer_tpu.sim import ir_rules
+
+    spec = ir_rules.predict_ir(parse_smiles("CC(C)=O"))  # acetone
+    assert spec.shape == (1801,)
+    assert spec.max() == pytest.approx(1.0)
+    grid = np.linspace(400, 4000, 1801)
+    # strongest band = C=O stretch near 1715
+    co = spec[(grid > 1680) & (grid < 1760)].max()
+    assert co > 0.9
+    # no O-H band
+    oh = spec[(grid > 3200) & (grid < 3600)].max()
+    assert oh < 0.3
+    spec2 = ir_rules.predict_ir(parse_smiles("CCO"))  # ethanol: broad O-H
+    oh2 = spec2[(grid > 3200) & (grid < 3500)].max()
+    assert oh2 > 0.3
+
+
+def test_factory_uses_rule_ir_fallback():
+    recs = factory.simulate_records(["CC(C)=O"], use_default_models=False)
+    assert recs[0].ir is not None and len(recs[0].ir) == 1801
+
+
 def test_ir_model_output():
     model = gnn.IRModel(hidden=32, steps=2, bins=100)
     g = graphs.featurize_smiles("CCO", 16)
