@@ -295,6 +295,33 @@ def test_factory_uses_rule_ir_fallback():
     assert recs[0].ir is not None and len(recs[0].ir) == 1801
 
 
+def test_default_distilled_models():
+    """Committed distilled weights load and track the rule teachers."""
+    import os
+
+    from multimodalspectraltransformer_tpu.sim import distill, shift_rules
+
+    if not os.path.exists(os.path.join(distill.WEIGHTS_DIR, "nmr_shift.msgpack")):
+        pytest.skip("no committed weights")
+    d = factory.default_shift_model()
+    assert d is not None
+    params, model, stats = d
+    mol = parse_smiles("CCO")
+    outs, _ = factory._predict_chunked(params, model, [mol], chunk=1)
+    c = outs[0][0][: mol.num_atoms] * stats.std_c + stats.mean_c
+    h = outs[0][1][: mol.num_atoms] * stats.std_h + stats.mean_h
+    rules = shift_rules.predict_shifts(mol)
+    for i, a in enumerate(mol.atoms):
+        if a.symbol == "C":
+            assert abs(float(c[i]) - float(rules.shift_c[i])) < 3.0
+            assert abs(float(h[i]) - float(rules.shift_h[i])) < 0.3
+    ir = factory.default_ir_model()
+    if ir is not None:
+        recs = factory.simulate_records(["CCO"])
+        assert recs[0].ir is not None and len(recs[0].ir) == 1801
+        assert float(np.max(recs[0].ir)) > 0.5
+
+
 def test_ir_model_output():
     model = gnn.IRModel(hidden=32, steps=2, bins=100)
     g = graphs.featurize_smiles("CCO", 16)
