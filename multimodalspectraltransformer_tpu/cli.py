@@ -131,13 +131,19 @@ def cmd_train(args) -> int:
     bs = max(1, min(args.batch_size, n_train))
     if bs != args.batch_size:
         print(f"note: batch size clamped to {bs} ({n_train} training records)", file=sys.stderr)
-    from .data.pipeline import FeaturizeOptions
+    from .data.pipeline import FeaturizeOptions, augment_records
 
+    train_records = records[:-n_val]
+    augment = getattr(args, "augment", 1)
     opts = FeaturizeOptions(
         blank_percentage=getattr(args, "blank", 0.0),
         randomize_smiles=getattr(args, "randomize_smiles", False),
+        use_given_smiles_form=augment > 1,
     )
-    loader = Loader(records[:-n_val], mcfg, batch_size=bs, seed=args.seed, opts=opts)
+    if augment > 1:
+        train_records = augment_records(train_records, augment, seed=args.seed)
+        print(f"augmented {n_train} -> {len(train_records)} records", file=sys.stderr)
+    loader = Loader(train_records, mcfg, batch_size=bs, seed=args.seed, opts=opts)
     val = Loader(records[-n_val:], mcfg, batch_size=min(bs, n_val), seed=args.seed, drop_remainder=False)
 
     os.makedirs(args.out, exist_ok=True)
@@ -340,7 +346,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--log-every", type=int, default=10,
                     help="metrics cadence; every log forces a device sync")
     sp.add_argument("--randomize-smiles", action="store_true",
-                    help="SMILES-randomization augmentation (reference smi_randomizer)")
+                    help="per-epoch SMILES-randomization augmentation (reference smi_randomizer; forces host featurization)")
+    sp.add_argument("--augment", type=int, default=1,
+                    help="pre-expanded SMILES-variant augmentation factor (deterministic; keeps the HBM-resident dataset path)")
     sp.add_argument("--blank", type=float, default=0.0,
                     help="random modality blanking percentage (reference blank_percentage)")
     sp.set_defaults(fn=cmd_train)

@@ -28,6 +28,7 @@ import ast
 import os
 import pickle
 import random
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Iterator, Optional, Sequence
 
@@ -167,6 +168,12 @@ def _pad_points(points: Sequence, length: int, dims: int) -> tuple[np.ndarray, n
 class FeaturizeOptions:
     blank_percentage: float = 0.0
     randomize_smiles: bool = False
+    # trust rec.smiles as the target form (pre-randomized augmentation
+    # variant from augment_records): target/MS-hint tokens use it verbatim
+    # instead of the canonical form, keeping featurization DETERMINISTIC so
+    # the device-resident dataset path stays usable (randomize_smiles
+    # re-rolls per epoch and forces the host path)
+    use_given_smiles_form: bool = False
     use_ir: bool = True
     # HSQC noise pollution (reference pollute_HSQC_data,
     # `dataloaders_pl_v15_4.py:117-140`): inject up to `hsqc_noise_max`
@@ -218,6 +225,8 @@ def featurize(
         rnd = chem.randomize(c_smi, rng)
         if rnd is not None:
             c_smi = rnd
+    elif opts.use_given_smiles_form:
+        c_smi = rec.smiles  # pre-randomized variant (validated above)
 
     out: dict = {}
     active = []
@@ -508,3 +517,27 @@ def synthetic_record(rng: random.Random, sample_id: str) -> SampleRecord:
 def synthetic_dataset(n: int, seed: int = 0) -> list[SampleRecord]:
     rng = random.Random(seed)
     return [synthetic_record(rng, str(i)) for i in range(n)]
+
+
+def augment_records(
+    records: Sequence[SampleRecord], variants: int, seed: int = 0
+) -> list[SampleRecord]:
+    """SMILES-randomization augmentation as record expansion: each record
+    plus (variants-1) randomized-SMILES copies sharing its spectra (the
+    reference's smi_augmenter applied ahead of time instead of per epoch,
+    so featurization stays deterministic and the dataset can live in HBM).
+    Consume with FeaturizeOptions(use_given_smiles_form=True)."""
+    if variants <= 1:
+        return list(records)
+    rng = random.Random(seed)
+    out: list[SampleRecord] = []
+    for r in records:
+        out.append(r)
+        seen = {r.smiles}
+        for v in range(variants - 1):
+            rnd = chem.randomize(r.smiles, rng)
+            if rnd is None or rnd in seen:
+                continue
+            seen.add(rnd)
+            out.append(dataclasses.replace(r, sample_id=f"{r.sample_id}~{v+1}", smiles=rnd))
+    return out
