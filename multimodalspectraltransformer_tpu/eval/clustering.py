@@ -28,20 +28,18 @@ def pca(vectors: np.ndarray, n_components: int = 2) -> np.ndarray:
 def embed(vectors: np.ndarray, method: str = "pca", n_components: int = 2,
           random_state: int = 0) -> np.ndarray:
     """Project [N, D] vectors to n_components dims. methods: pca | tsne |
-    umap (umap falls back to tsne when the package is absent, which it is in
-    this image)."""
+    umap (first-party implementation, eval/umap.py — no silent t-SNE
+    fallback anymore)."""
     if method == "pca":
         return pca(vectors, n_components)
     if method == "umap":
-        try:
-            import umap  # type: ignore
+        from .umap import umap_embed
 
-            return np.asarray(
-                umap.UMAP(n_components=n_components, random_state=random_state).fit_transform(vectors),
-                dtype=np.float32,
-            )
-        except ImportError:
-            method = "tsne"
+        return umap_embed(
+            np.asarray(vectors, np.float64),
+            n_components=n_components,
+            random_state=random_state,
+        )
     if method == "tsne":
         from sklearn.manifold import TSNE
 

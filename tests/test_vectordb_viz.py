@@ -55,7 +55,7 @@ def test_metrics_cosine_euclidean_dot():
 
 def test_pca_and_tsne_embed():
     db = vectordb.build_morgan_db(SMILES)
-    for method in ("pca", "tsne", "umap"):  # umap falls back to tsne
+    for method in ("pca", "tsne", "umap"):  # umap = first-party eval/umap.py
         coords = clustering.embed(db.vectors, method=method)
         assert coords.shape == (len(SMILES), 2)
         assert np.isfinite(coords).all()
@@ -108,3 +108,23 @@ def test_loader_order_strategy():
     loader = dp.Loader(records, mcfg, batch_size=4, order_strategy="weight_sorted")
     batches = list(loader.epoch(0))
     assert len(batches) >= 2
+
+
+def test_umap_separates_clusters():
+    """First-party UMAP (eval/umap.py): well-separated input clusters stay
+    separated in the layout, deterministically."""
+    import numpy as np
+
+    from multimodalspectraltransformer_tpu.eval.umap import umap_embed
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.3, (60, 32))
+    b = rng.normal(4, 0.3, (60, 32))
+    x = np.concatenate([a, b])
+    e = umap_embed(x, n_epochs=100, random_state=1)
+    assert e.shape == (120, 2)
+    sep = np.linalg.norm(e[:60].mean(0) - e[60:].mean(0))
+    spread = max(e[:60].std(), e[60:].std())
+    assert sep > 2 * spread
+    e2 = umap_embed(x, n_epochs=100, random_state=1)
+    np.testing.assert_array_equal(e, e2)
