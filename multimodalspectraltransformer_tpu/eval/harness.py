@@ -147,8 +147,17 @@ def evaluate_molecules(
     run_mns: bool = True,
     clip_block: int = 0,  # >0: fixed-size CLIP scoring block (one executable)
     extra_candidates: Optional[Sequence[Sequence[str]]] = None,
+    mesh: Optional[Any] = None,
 ) -> tuple[list[MoleculeResult], EvalSummary]:
     """Evaluate a list of molecules end-to-end.
+
+    With ``mesh``, params are replicated and the featurized batch is
+    sharded over the mesh's data axes before the encode — every downstream
+    device stage (teacher-forced pass, greedy, fan-out sampling, CLIP,
+    ranking) then runs under GSPMD with per-molecule work on its shard
+    (SURVEY §5.8 embarrassingly-parallel inference); results are
+    bit-identical to the single-device run (asserted by
+    ``__graft_entry__.dryrun_multichip`` and tests/test_multislice.py).
 
     ``extra_candidates[i]`` — externally supplied candidate SMILES for the
     i-th (featurizable) record, merged into its sampled candidate set before
@@ -193,6 +202,14 @@ def evaluate_molecules(
 
     tb = dp.collate(feats)
     inputs = jax.tree.map(jnp.asarray, tb.inputs)
+    if mesh is not None:
+        from .. import parallel
+
+        params = jax.device_put(
+            params, jax.tree.map(lambda _: parallel.replicated(mesh), params)
+        )
+        bs = parallel.batch_sharding(mesh)
+        inputs = jax.tree.map(lambda x: jax.device_put(x, bs), inputs)
     t_start = time.time()  # summary.mols_per_sec covers encode -> ranking
     mark("start")
     enc = _encode_batch(model, params, inputs)

@@ -5,6 +5,7 @@ virtual 8-device CPU backend must match the single-device step (SURVEY.md
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalspectraltransformer_tpu import parallel
 from multimodalspectraltransformer_tpu.data import pipeline as dp
@@ -105,3 +106,39 @@ def test_sharded_fanout_decode_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ref_beam.scores), np.asarray(out_beam.scores), rtol=1e-5, atol=1e-6
     )
+
+
+def test_sharded_harness_round_matches_single_device():
+    """The FULL evaluation pipeline (encode -> teacher-forced -> greedy ->
+    fan-out MNS -> spectral-error ranking) run with evaluate_molecules(
+    mesh=...) must produce identical results to the single-device run —
+    the sharded-decode property through the harness, not one sampler call."""
+    import numpy as np
+
+    from multimodalspectraltransformer_tpu.eval import harness
+    from multimodalspectraltransformer_tpu.sim import factory
+    from multimodalspectraltransformer_tpu.utils.config import DecodeConfig
+
+    records = factory.simulate_records(
+        ["CCO", "CC(C)=O", "Cc1ccccc1", "CCN", "CC(N)C(=O)O", "c1ccncc1",
+         "CCOC(C)=O", "CC(O)CC"],
+        use_default_models=False,
+    )
+    params = mmt.init_params(MCFG, jax.random.PRNGKey(0))
+    dcfg = DecodeConfig(max_len=12, fanout=4, multinom_runs=2,
+                        max_temp_rounds=1, mw_filter=False, lookahead=False)
+    ref_res, ref_sum = harness.evaluate_molecules(
+        records, params, MCFG, dcfg, jax.random.PRNGKey(9)
+    )
+    mesh = parallel.make_mesh(data=8, model=1)
+    sh_res, sh_sum = harness.evaluate_molecules(
+        records, params, MCFG, dcfg, jax.random.PRNGKey(9), mesh=mesh
+    )
+    assert [r.greedy for r in ref_res] == [r.greedy for r in sh_res]
+    assert [r.corr_sampling_prob for r in ref_res] == pytest.approx(
+        [r.corr_sampling_prob for r in sh_res], rel=1e-4
+    )
+    assert [sorted(c.smiles for c in r.candidates) for r in ref_res] == [
+        sorted(c.smiles for c in r.candidates) for r in sh_res
+    ]
+    assert np.isclose(ref_sum.greedy_tanimoto, sh_sum.greedy_tanimoto)
