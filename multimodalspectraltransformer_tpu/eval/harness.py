@@ -148,6 +148,7 @@ def evaluate_molecules(
     clip_block: int = 0,  # >0: fixed-size CLIP scoring block (one executable)
     extra_candidates: Optional[Sequence[Sequence[str]]] = None,
     mesh: Optional[Any] = None,
+    spectral_scorer: str = "device",  # "device" (batched auction) | "host"
 ) -> tuple[list[MoleculeResult], EvalSummary]:
     """Evaluate a list of molecules end-to-end.
 
@@ -318,6 +319,36 @@ def evaluate_molecules(
             for sr in sim_factory.simulate_records(union, **(sim_kwargs or {})):
                 sim_by_smi[sr.smiles] = sr
 
+    # Batched device spectral scoring: ALL (molecule, candidate) pairs for
+    # both 2D modalities go through one auction-solve call each (the Pallas
+    # kernel on TPU; rank/matching.batched_pairwise_assignment_error) —
+    # dispatched before the CLIP fetch so the solves queue behind CLIP on
+    # the device while the host is still idle.
+    device_errors: dict[tuple[int, str], list[float]] = {}
+    if all_cands is not None and simulate_errors and spectral_scorer == "device":
+        q_rows: dict[str, list] = {"hsqc": [], "cosy": []}
+        c_rows: dict[str, list] = {"hsqc": [], "cosy": []}
+        refs: dict[str, list] = {"hsqc": [], "cosy": []}
+        for i, rec in enumerate(kept_records):
+            if rec.hsqc is None:
+                continue
+            for smi in all_cands[i].smiles:
+                sr = sim_by_smi.get(smi)
+                if sr is None:
+                    continue
+                if rec.hsqc and sr.hsqc:
+                    q_rows["hsqc"].append(np.asarray(rec.hsqc, float))
+                    c_rows["hsqc"].append(np.asarray(sr.hsqc, float))
+                    refs["hsqc"].append((i, smi))
+                if rec.cosy and sr.cosy:
+                    q_rows["cosy"].append(np.asarray(rec.cosy, float))
+                    c_rows["cosy"].append(np.asarray(sr.cosy, float))
+                    refs["cosy"].append((i, smi))
+        for mod_idx, mod in enumerate(("hsqc", "cosy")):
+            errs = matching.batched_pairwise_assignment_error(q_rows[mod], c_rows[mod])
+            for key, e in zip(refs[mod], errs):
+                device_errors.setdefault(key, [float("nan"), float("nan")])[mod_idx] = float(e)
+
     if clip_pending is not None:
         score, with_cands, n_reals = clip_pending
         losses = np.asarray(score.losses)
@@ -380,16 +411,22 @@ def evaluate_molecules(
                     c.clip_dot = float(d)
 
             if simulate_errors and res.candidates and rec.hsqc is not None:
-                q_hsqc = np.asarray(rec.hsqc, float) if rec.hsqc else None
-                q_cosy = np.asarray(rec.cosy, float) if rec.cosy else None
-                for c in res.candidates:
-                    sr = sim_by_smi.get(c.smiles)  # both sides canonical
-                    if sr is None:
-                        continue
-                    if q_hsqc is not None and sr.hsqc:
-                        c.hsqc_error = matching.spectral_error(q_hsqc, np.asarray(sr.hsqc, float), "hung_dist_nn")
-                    if q_cosy is not None and sr.cosy:
-                        c.cosy_error = matching.spectral_error(q_cosy, np.asarray(sr.cosy, float), "hung_dist_nn")
+                if spectral_scorer == "device":
+                    for c in res.candidates:
+                        errs = device_errors.get((i, c.smiles))
+                        if errs is not None:
+                            c.hsqc_error, c.cosy_error = errs
+                else:
+                    q_hsqc = np.asarray(rec.hsqc, float) if rec.hsqc else None
+                    q_cosy = np.asarray(rec.cosy, float) if rec.cosy else None
+                    for c in res.candidates:
+                        sr = sim_by_smi.get(c.smiles)  # both sides canonical
+                        if sr is None:
+                            continue
+                        if q_hsqc is not None and sr.hsqc:
+                            c.hsqc_error = matching.spectral_error(q_hsqc, np.asarray(sr.hsqc, float), "hung_dist_nn")
+                        if q_cosy is not None and sr.cosy:
+                            c.cosy_error = matching.spectral_error(q_cosy, np.asarray(sr.cosy, float), "hung_dist_nn")
 
             # reference sorts the per-molecule list by tanimoto (`:504-570`)
             res.candidates.sort(key=lambda c: -c.tanimoto)

@@ -226,21 +226,27 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "eps_schedule"))
 def auction_assignment_cost(
     cost: jax.Array,  # [B, N, N] square cost matrices
     n_iters: int = 200,
     eps: float = 1e-4,
+    eps_schedule: tuple = (),
 ) -> jax.Array:
     """Total assignment cost per batch element via forward auction.
 
-    With eps below the minimum nonzero cost gap the result matches the
-    Hungarian optimum; with the default it is within N*eps (tested against
-    scipy). Runs entirely on device: [B, N, N] -> [B]."""
+    With ``eps_schedule`` (descending eps values), runs one phase per eps —
+    prices carry across phases, assignments reset — the standard
+    eps-scaling that converges orders of magnitude faster than a single
+    small-eps pass and lands within N*eps_final of the Hungarian optimum
+    (scipy-verified). Runs entirely on device: [B, N, N] -> [B]."""
     B, N, _ = cost.shape
     benefit = -cost  # auction maximizes
 
-    def body(_, state):
+    def body_for(eps_val):
+        return partial(_auction_body, eps_val)
+
+    def _auction_body(eps_val, _, state):
         prices, owner = state  # [B, N] prices; owner[b, j] = bidder or -1
         # each unassigned bidder bids for its best object
         value = benefit - prices[:, None, :]  # [B, i, j]
@@ -260,7 +266,7 @@ def auction_assignment_cost(
             axis=1,
         )  # [B, i]
         unassigned = ~owns  # [B, i]
-        bid_amount = top1 - top2 + eps  # [B, i]
+        bid_amount = top1 - top2 + eps_val  # [B, i]
         # resolve: for each object, the highest-bidding unassigned bidder wins
         bids = jnp.where(
             unassigned[:, :, None] & jax.nn.one_hot(best_j, N, dtype=bool),
@@ -275,9 +281,11 @@ def auction_assignment_cost(
         new_owner = jnp.where(has_bid, win_bidder, owner)
         return new_prices, new_owner
 
-    prices0 = jnp.zeros((B, N), cost.dtype)
-    owner0 = jnp.full((B, N), -1, jnp.int32)
-    prices, owner = jax.lax.fori_loop(0, n_iters, body, (prices0, owner0))
+    prices = jnp.zeros((B, N), cost.dtype)
+    owner = jnp.full((B, N), -1, jnp.int32)
+    for eps_val in eps_schedule or (eps,):
+        owner = jnp.full((B, N), -1, jnp.int32)  # reset assignments, keep prices
+        prices, owner = jax.lax.fori_loop(0, n_iters, body_for(eps_val), (prices, owner))
     # gather final assignment cost; unassigned objects (shouldn't happen
     # after convergence) fall back to diagonal
     safe_owner = jnp.where(owner >= 0, owner, jnp.arange(N)[None, :])
@@ -287,6 +295,60 @@ def auction_assignment_cost(
     j_idx = jnp.arange(N)
     total = jnp.sum(picked[:, j_idx, j_idx], axis=1)
     return total
+
+
+def batched_pairwise_assignment_error(
+    queries: "list[np.ndarray]",  # T raw (F2, F1) ppm peak lists
+    cands: "list[np.ndarray]",  # T raw candidate peak lists (row-paired)
+) -> np.ndarray:
+    """Average optimal-assignment error for T (query, candidate) pairs in
+    ONE device call — the production spectral-error scorer of the harness.
+
+    Each pair is zero-padded to a common square size (hung_dist_zero
+    semantics — one of the reference's 9 supported modes,
+    `similarity_functions_v15_4.py:484-586`), all T cost matrices are built
+    on device, and the assignment solves run in the Pallas auction kernel
+    on TPU (`ops/auction.py`; jitted JAX auction elsewhere). Displaces the
+    reference's per-candidate scipy Hungarian loop
+    (`similarity_functions_v15_4.py:735,958`)."""
+    t = len(queries)
+    if t == 0:
+        return np.zeros(0, np.float32)
+    nq = np.asarray([len(q) for q in queries], np.int32)
+    nc = np.asarray([len(c) for c in cands], np.int32)
+    n = int(max(1, max(nq.max(initial=1), nc.max(initial=1))))
+    n = (n + 7) // 8 * 8  # lane-friendly square size
+    qa = np.zeros((t, n, 2), np.float32)
+    ca = np.zeros((t, n, 2), np.float32)
+    for i, (q, c) in enumerate(zip(queries, cands)):
+        if len(q):
+            qa[i, : len(q)] = normalize_peaks(np.asarray(q, float).reshape(-1, 2))
+        if len(c):
+            ca[i, : len(c)] = normalize_peaks(np.asarray(c, float).reshape(-1, 2))
+    qj = jnp.asarray(qa)
+    cj = jnp.asarray(ca)
+    cost = jnp.linalg.norm(qj[:, :, None, :] - cj[:, None, :, :], axis=-1)
+    # exact hung_dist_zero semantics on the uniformly padded square: rows/
+    # cols beyond each pair's max(nq, nc) are EXCESS padding and may only
+    # pair with each other (big-M elsewhere) — otherwise real peaks could
+    # cheaply escape to surplus zeros and undercut the host optimum. A
+    # pairwise-exchange argument needs only BIG > 2 * max point distance.
+    n_active = jnp.asarray(np.maximum(nq, nc))  # [T]
+    act_r = jnp.arange(n)[None, :] < n_active[:, None]  # [T, N]
+    mismatch = act_r[:, :, None] != act_r[:, None, :]
+    cost = jnp.where(mismatch, 10.0, cost)
+    if jax.devices()[0].platform == "tpu":
+        from ..ops.auction import auction_assignment_cost_pallas
+
+        total = auction_assignment_cost_pallas(cost, interpret=False)
+    else:
+        total = auction_assignment_cost(
+            cost,
+            n_iters=max(200, 4 * n),
+            eps_schedule=(0.3, 0.06, 0.012, 2.4e-3, 5e-4, 1e-4),
+        )
+    denom = np.maximum(np.maximum(nq, nc), 1)
+    return np.asarray(total, np.float32) / denom
 
 
 def batched_assignment_error(

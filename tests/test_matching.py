@@ -116,3 +116,25 @@ def test_auction_owner_is_permutation_and_matches_scipy():
             # never below the optimum, and within N*eps above it
             assert total[b] >= ref - 1e-5, (trial, b, total[b], ref)
             assert total[b] <= ref + 10 * 1e-4 + 1e-5, (trial, b, total[b], ref)
+
+
+def test_batched_pairwise_matches_host_hung_zero():
+    """The production device scorer (one auction call over all pairs) must
+    agree with the host hung_dist_zero mode pair by pair."""
+    rng = np.random.default_rng(4)
+    queries, cands = [], []
+    for _ in range(17):
+        nq, nc = rng.integers(2, 12), rng.integers(2, 12)
+        queries.append(np.column_stack([rng.uniform(0, 10, nq), rng.uniform(0, 200, nq)]))
+        cands.append(np.column_stack([rng.uniform(0, 10, nc), rng.uniform(0, 200, nc)]))
+    dev = matching.batched_pairwise_assignment_error(queries, cands)
+    for i, (q, c) in enumerate(zip(queries, cands)):
+        host = matching.spectral_error(q, c, "hung_dist_zero")
+        np.testing.assert_allclose(dev[i], host, rtol=2e-3, atol=2e-3)
+
+
+def test_batched_pairwise_empty_and_identity():
+    assert matching.batched_pairwise_assignment_error([], []).shape == (0,)
+    q = [np.array([[1.0, 50.0], [2.0, 100.0]])]
+    out = matching.batched_pairwise_assignment_error(q, q)
+    np.testing.assert_allclose(out, [0.0], atol=1e-5)

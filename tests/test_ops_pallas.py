@@ -139,3 +139,23 @@ def test_fused_decode_attention_in_sampler():
     g1 = S.greedy_decode(params, cfg, enc.memory, enc.memory_key_padding_mask, 1.0, 12,
                          fused_attention=True)
     np.testing.assert_array_equal(np.asarray(g0.tokens), np.asarray(g1.tokens))
+
+
+def test_auction_pallas_compiled_on_tpu():
+    """Real-chip (non-interpret) run of the production auction kernel —
+    exercised only when a TPU is attached (pytest runs on the virtual CPU
+    mesh; run manually on the chip or via bench)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU attached")
+    from multimodalspectraltransformer_tpu.ops.auction import auction_assignment_cost_pallas
+
+    rng = np.random.default_rng(0)
+    cost = rng.uniform(0, 1, (16, 24, 24)).astype(np.float32)
+    out = np.asarray(auction_assignment_cost_pallas(jnp.asarray(cost), interpret=False))
+    for b in range(16):
+        r, c = linear_sum_assignment(cost[b])
+        assert abs(out[b] - cost[b][r, c].sum()) < 24 * 1e-4, b
