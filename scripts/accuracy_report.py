@@ -1,0 +1,221 @@
+"""Held-out accuracy report: the BASELINE.md metrics on factory data.
+
+Builds a held-out corpus DISJOINT from the training corpus (different
+generator seed, overlaps removed by canonical SMILES), simulates spectra
+through the same trained-GNN factory the training data used, evaluates the
+trained checkpoint chunk by chunk with the full MNS harness (128-way
+fan-out, MW filter, temperature escalation, spectral-error ranking), and
+writes ACCURACY.md + ACCURACY_r02.json at the repo root.
+
+Mirrors the reference's 1000-molecule SLURM sweeps
+(`scripts/script_PC_0_250.py:821-857`, logs `scripts/ZINC_0_250.txt`) whose
+headline numbers are MNS top-rank exact 0.911 / greedy exact 0.624.
+
+Usage (on the chip, after `cli train --factory ...`):
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/accuracy_report.py \
+        --params runs/r2_full/params.msgpack --n 1000 \
+        [--train-seed 11 --train-n 50000] [--heldout-seed 999]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--params", required=True)
+    p.add_argument("--n", type=int, default=1000)
+    p.add_argument("--train-seed", type=int, default=11)
+    p.add_argument("--train-n", type=int, default=50000)
+    p.add_argument("--heldout-seed", type=int, default=999)
+    p.add_argument("--chunk-size", type=int, default=48)
+    p.add_argument("--fanout", type=int, default=128)
+    p.add_argument("--multinom-runs", type=int, default=10)
+    p.add_argument("--rounds", type=int, default=10)
+    p.add_argument("--max-len", type=int, default=64)
+    p.add_argument("--out", default="runs/accuracy_r02")
+    p.add_argument("--tag", default="r02")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--small", action="store_true")
+    return p.parse_args()
+
+
+def main() -> int:
+    args = parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from multimodalspectraltransformer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    from multimodalspectraltransformer_tpu.data import molrandom
+    from multimodalspectraltransformer_tpu.eval import harness
+    from multimodalspectraltransformer_tpu.models import mmt
+    from multimodalspectraltransformer_tpu.sim import factory
+    from multimodalspectraltransformer_tpu.train import checkpoint as ckpt
+    from multimodalspectraltransformer_tpu.utils.config import DecodeConfig, ModelConfig
+
+    # ---- held-out corpus, disjoint from the training corpus -------------
+    heldout_path = os.path.join(args.out, "heldout_smiles.json")
+    if os.path.exists(heldout_path):
+        with open(heldout_path) as f:
+            heldout = json.load(f)
+    else:
+        t0 = time.time()
+        train_set = set(molrandom.random_corpus(args.train_n, seed=args.train_seed))
+        pool = molrandom.random_corpus(args.n * 2, seed=args.heldout_seed)
+        heldout = [s for s in pool if s not in train_set][: args.n]
+        with open(heldout_path, "w") as f:
+            json.dump(heldout, f)
+        print(
+            f"[acc] held-out corpus: {len(heldout)} molecules "
+            f"({len(pool) - len(heldout)} overlaps/surplus dropped) in {time.time()-t0:.0f}s",
+            flush=True,
+        )
+    assert len(heldout) >= args.n * 0.9, "too few held-out molecules"
+
+    mcfg = ModelConfig(num_encoder_layers=2, num_decoder_layers=2) if args.small else ModelConfig()
+    template = mmt.init_params(mcfg, jax.random.PRNGKey(0))
+    params = ckpt.import_params_msgpack(template, args.params)
+
+    dcfg = DecodeConfig(
+        max_len=args.max_len, fanout=args.fanout,
+        multinom_runs=args.multinom_runs, max_temp_rounds=args.rounds,
+        mw_filter=True, compute_dtype="bfloat16" if args.bf16 else None,
+    )
+
+    t0 = time.time()
+    records = factory.simulate_records(heldout)
+    print(f"[acc] simulated {len(records)} records in {time.time()-t0:.0f}s", flush=True)
+
+    chunks = [records[i : i + args.chunk_size] for i in range(0, len(records), args.chunk_size)]
+    mols = []
+    topk_results = []
+    t_all = time.time()
+    for ci, chunk in enumerate(chunks):
+        path = os.path.join(args.out, f"chunk_{ci:04d}.json")
+        digest = hashlib.sha256("|".join(r.smiles for r in chunk).encode()).hexdigest()[:16]
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            if prev.get("digest") == digest:
+                mols.extend(prev["molecules"])
+                topk_results.append(prev.get("top_k", {}))
+                continue
+        t0 = time.time()
+        results, summary = harness.evaluate_molecules(
+            chunk, params, mcfg, dcfg, rng=jax.random.PRNGKey(1000 + ci),
+            simulate_errors=True,
+        )
+        top_k = {str(k): v for k, v in harness.top_k_accuracy(results).items()}
+        payload = {
+            "chunk": ci,
+            "digest": digest,
+            "wall_s": time.time() - t0,
+            "top_k": top_k,
+            "molecules": [
+                {
+                    "target": r.target,
+                    "greedy_exact": r.greedy_exact,
+                    "greedy_tanimoto": r.greedy_tanimoto,
+                    "mns_exact": r.mns_exact,
+                    "best_tanimoto": r.best_tanimoto,
+                    "corr_sampling_prob": r.corr_sampling_prob,
+                    "n_candidates": len(r.candidates),
+                    "rounds": r.sampling_rounds,
+                }
+                for r in results
+            ],
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f)
+        mols.extend(payload["molecules"])
+        topk_results.append(top_k)
+        done = sum(len(c["molecules"]) if isinstance(c, dict) else 0 for c in [payload])
+        print(
+            f"[acc] chunk {ci+1}/{len(chunks)}: {len(results)} mols {payload['wall_s']:.0f}s | "
+            f"greedy {summary.greedy_exact:.3f} mns {summary.mns_exact:.3f} "
+            f"tani {summary.greedy_tanimoto:.3f}",
+            flush=True,
+        )
+
+    n = len(mols)
+    mean = lambda k: sum(float(m[k]) for m in mols) / max(n, 1)
+    # aggregate top-k by-error accuracy over all chunks (weighted by chunk n)
+    topk_agg: dict[str, float] = {}
+    for k in ("1", "3", "5", "10", "20"):
+        vals = [tk.get(k) for tk in topk_results if tk and tk.get(k) is not None]
+        if vals:
+            topk_agg[k] = sum(vals) / len(vals)
+
+    report = {
+        "tag": args.tag,
+        "n": n,
+        "greedy_exact": mean("greedy_exact"),
+        "greedy_tanimoto": mean("greedy_tanimoto"),
+        "mns_exact": mean("mns_exact"),
+        "best_tanimoto": mean("best_tanimoto"),
+        "corr_sampling_prob": mean("corr_sampling_prob"),
+        "top_k_by_error": topk_agg,
+        "wall_s_total": time.time() - t_all,
+        "params": args.params,
+        "fanout": args.fanout,
+        "multinom_runs": args.multinom_runs,
+        "heldout_seed": args.heldout_seed,
+        "reference": {
+            "zinc_0_250_mns_exact": 0.911,
+            "zinc_0_250_greedy_exact": 0.624,
+            "source": "scripts/ZINC_0_250.txt (V100, n=1000)",
+        },
+    }
+    with open(os.path.join(REPO, f"ACCURACY_{args.tag}.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
+    md = [
+        f"# Accuracy report ({args.tag})",
+        "",
+        f"Held-out factory molecules (seed {args.heldout_seed}, disjoint from the",
+        f"training corpus by canonical SMILES), n = {n}. Harness: {args.fanout}-way",
+        f"fan-out MNS, {args.multinom_runs} candidates, MW filter, temperature",
+        "escalation, trained-GNN spectral simulation, device spectral-error ranking.",
+        "",
+        "| metric | value | reference (ZINC 0-250, V100) |",
+        "|---|---|---|",
+        f"| MNS top-rank exact recovery | **{report['mns_exact']:.3f}** | 0.911 |",
+        f"| greedy exact recovery | **{report['greedy_exact']:.3f}** | 0.624 |",
+        f"| greedy tanimoto (mean) | {report['greedy_tanimoto']:.3f} | 0.842 |",
+        f"| best-candidate tanimoto (mean) | {report['best_tanimoto']:.3f} | 0.967 |",
+        f"| teacher-forced P(sequence) | {report['corr_sampling_prob']:.3f} | - |",
+    ]
+    for k, v in sorted(topk_agg.items(), key=lambda kv: int(kv[0])):
+        md.append(f"| top-{k} by spectral-error rank | {v:.3f} | - |")
+    md += [
+        "",
+        f"Checkpoint: `{args.params}`. Reproduce: see this script's docstring.",
+        "",
+        "The reference numbers are its own simulated-data regime (SGNN-trained",
+        "spectra of ZINC molecules); ours is the equivalent closed loop on the",
+        "first-party factory (additivity-rule-distilled GNN spectra of generated",
+        "drug-like molecules). Both measure the same thing: can the model invert",
+        "its own simulator's spectra back to the structure.",
+    ]
+    with open(os.path.join(REPO, "ACCURACY.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
