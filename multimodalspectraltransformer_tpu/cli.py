@@ -264,11 +264,7 @@ def cmd_train_clip(args) -> int:
 
     mcfg = ModelConfig(num_encoder_layers=2, num_decoder_layers=2) if args.small else ModelConfig()
     cfg = MMTConfig(model=mcfg)
-    if args.synthetic:
-        records = dp.synthetic_dataset(args.synthetic, seed=args.seed)
-    else:
-        records = dp.load_spectra_csvs(args.csv_1h, args.csv_13c, args.csv_hsqc,
-                                       args.csv_cosy, args.ir_folder, limit=args.limit)
+    records = _load_records(args, mcfg)
     if args.params:
         from .train import checkpoint as ckpt
 

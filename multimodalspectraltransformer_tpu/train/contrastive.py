@@ -88,19 +88,9 @@ def train_contrastive(
     rng = jax.random.PRNGKey(seed)
     mmt_model = mmt.MultimodalTransformer(mmt_cfg.model)
 
-    if tower == "clip":
-        tcfg = tower_cfg or clip_mod.CLIPConfig()
-        tower_model = clip_mod.CLIPRanker(tcfg)
-    elif tower == "blip":
-        qcfg = tower_cfg or qformer_mod.QFormerConfig()
-        text_cfg = text_tower_cfg or clip_mod.CLIPConfig(
-            text_layers=2, text_heads=4, text_hidden=qcfg.encoder_width,
-            text_ffn=4 * qcfg.encoder_width, cb_embedding=qcfg.encoder_width,
-            projection_dim=qcfg.projection_dim,
-        )
-        tower_model = qformer_mod.BLIPRanker(qcfg, text_cfg)
-    else:
+    if tower not in ("clip", "blip"):
         raise ValueError(tower)
+    tower_model, *_ = make_tower(tower, tower_cfg, text_tower_cfg)
 
     @jax.jit
     def encode(inputs):
@@ -194,3 +184,79 @@ def _batch_smiles(batch) -> list[str]:
     from ..utils import vocab
 
     return [vocab.ids_to_smiles(t[1:]) for t in np.asarray(batch.trg_tokens)]
+
+
+def make_tower(tower: str, tower_cfg=None, text_tower_cfg=None):
+    """Tower model + configs (shared between training and evaluation)."""
+    if tower == "clip":
+        tcfg = tower_cfg or clip_mod.CLIPConfig()
+        return clip_mod.CLIPRanker(tcfg), tcfg, None
+    qcfg = tower_cfg or qformer_mod.QFormerConfig()
+    text_cfg = text_tower_cfg or clip_mod.CLIPConfig(
+        text_layers=2, text_heads=4, text_hidden=qcfg.encoder_width,
+        text_ffn=4 * qcfg.encoder_width, cb_embedding=qcfg.encoder_width,
+        projection_dim=qcfg.projection_dim,
+    )
+    return qformer_mod.BLIPRanker(qcfg, text_cfg), qcfg, text_cfg
+
+
+def retrieval_accuracy(
+    variables,
+    mmt_cfg,
+    mmt_params,
+    records,
+    tower: str = "blip",
+    tower_cfg=None,
+    text_tower_cfg=None,
+    batch_size: int = 32,
+    max_text_len: int = 64,
+    seed: int = 0,
+) -> dict:
+    """Contrastive-retrieval evaluation: R@1/R@5 for text->spectrum and
+    spectrum->text over the record set (each molecule's SMILES must
+    retrieve its own spectrum among all N and vice versa)."""
+    mmt_model = mmt.MultimodalTransformer(mmt_cfg.model)
+    tower_model, *_ = make_tower(tower, tower_cfg, text_tower_cfg)
+
+    @jax.jit
+    def encode(inputs):
+        enc = mmt_model.apply({"params": mmt_params}, inputs, None, True)
+        return enc.fingerprint, enc.memory, enc.memory_key_padding_mask
+
+    loader = Loader(records, mmt_cfg.model, batch_size, seed=seed, drop_remainder=False)
+    text_embs, spec_embs = [], []
+    for batch in loader.epoch(0):
+        inputs = jax.tree.map(jnp.asarray, batch.inputs)
+        fp, memory, kpm = encode(inputs)
+        smiles = _batch_smiles(batch)
+        toks, mask = clip_tokenize(smiles, max_text_len)
+        if tower == "clip":
+            cb, mt = tower_model.apply(
+                {"params": variables["params"]}, jnp.asarray(toks), jnp.asarray(mask), fp, True
+            )
+        else:
+            cb, mt = tower_model.apply(
+                {"params": variables["params"]}, jnp.asarray(toks), jnp.asarray(mask),
+                memory, kpm, True,
+            )
+        text_embs.append(np.asarray(cb))
+        spec_embs.append(np.asarray(mt))
+    text = np.concatenate(text_embs)
+    spec = np.concatenate(spec_embs)
+    text = text / np.linalg.norm(text, axis=1, keepdims=True)
+    spec = spec / np.linalg.norm(spec, axis=1, keepdims=True)
+    sim = text @ spec.T  # [N, N]
+    n = len(sim)
+    gold = np.arange(n)
+
+    def recall_at(k, s):
+        rank = np.argsort(-s, axis=1)
+        return float(np.mean([(gold[i] in rank[i, :k]) for i in range(n)]))
+
+    return {
+        "n": n,
+        "text_to_spec_r1": recall_at(1, sim),
+        "text_to_spec_r5": recall_at(5, sim),
+        "spec_to_text_r1": recall_at(1, sim.T),
+        "spec_to_text_r5": recall_at(5, sim.T),
+    }
