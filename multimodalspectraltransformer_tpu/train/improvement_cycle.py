@@ -28,7 +28,7 @@ from ..eval.harness import EvalSummary, evaluate_molecules
 from ..sim import factory as sim_factory
 from ..utils.config import DecodeConfig, MMTConfig
 from .loop import run_training
-from .molgen import MolGenConfig, generate_neighbors
+from .molgen import MolGenConfig, generate_neighbors, sample_model_neighbors
 
 
 @dataclass
@@ -41,6 +41,11 @@ class ImprovementCycleConfig:
     include_targets_in_training: bool = False  # negative-examples mode if False
     eval_mns: bool = False  # full MNS eval per cycle (slower)
     sim_kwargs: dict = field(default_factory=dict)
+    # also sample neighbors from the trained MMT decoder itself (molgen.
+    # sample_model_neighbors) — generative diversity scales with the model
+    # rather than the fixed mutation table
+    model_neighbors: bool = False
+    model_neighbor_fanout: int = 64
 
 
 @dataclass
@@ -72,6 +77,13 @@ def run_improvement_cycle(
         aug_smiles: list[str] = []
         for rec in target_records:
             aug_smiles.extend(generate_neighbors(rec.smiles, icfg.molgen))
+            if icfg.model_neighbors:
+                aug_smiles.extend(
+                    sample_model_neighbors(
+                        params, cfg.model, rec.smiles, icfg.molgen,
+                        fanout=icfg.model_neighbor_fanout, record=rec,
+                    )
+                )
         # 2) dataset-cleaning criteria (reference filter_invalid_criteria:
         # drop P/Si/bare-B/charged molecules, strip stereo) then filter vs
         # validation set (reference mrtf.filter_smiles)
