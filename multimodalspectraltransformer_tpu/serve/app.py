@@ -135,7 +135,8 @@ def _record_to_dict(r: dp.SampleRecord) -> dict:
         "sample_id": r.sample_id,
         "smiles": r.smiles,
         "modalities": [
-            m for m, v in (("1H", r.h1), ("13C", r.c13), ("HSQC", r.hsqc), ("COSY", r.cosy), ("IR", r.ir))
+            m for m, v in (("1H", r.h1), ("1H_shape", r.h1), ("13C", r.c13),
+                           ("HSQC", r.hsqc), ("COSY", r.cosy), ("IR", r.ir))
             if v is not None
         ],
     }

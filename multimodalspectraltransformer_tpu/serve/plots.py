@@ -99,6 +99,45 @@ def plot_1d_sticks(
     return _finish(parts, legend)
 
 
+def plot_1h_lorentzian(
+    peaks: Sequence[Sequence[float]],
+    overlay: Optional[Sequence[Sequence[float]]] = None,
+    gamma: float = 0.01,
+    title: str = "1H NMR (line shape)",
+    legend: Optional[Sequence[str]] = None,
+) -> str:
+    """Continuous Lorentzian line-shape rendering of a (shift, intensity)
+    peak list with sticks underneath (the reference's `simulate_splitting`
+    display, `data_generation_v15_4.py:122-134,564-573`)."""
+    from ..sim.reconstruct import render_lorentzian
+
+    sets = [[tuple(p) for p in peaks]]
+    if overlay is not None:
+        sets.append([tuple(p) for p in overlay])
+    curves = [render_lorentzian(s, gamma=gamma) for s in sets]
+    x0 = min(float(c[0].min()) for c in curves)
+    x1 = max(float(c[0].max()) for c in curves)
+    ymax = max(float(c[1].max()) for c in curves) or 1.0
+    parts, to_px = _axes(x0, x1, 0.0, ymax * 1.05, "1H shift (ppm)", "intensity", title)
+    for si, (xs, ys) in enumerate(curves):
+        pts = []
+        for k in range(0, len(xs), 2):
+            px, py = to_px(float(xs[k]), float(ys[k]))
+            pts.append(f"{px:.1f},{py:.1f}")
+        parts.append(
+            f'<polyline points="{" ".join(pts)}" fill="none" stroke="{_COLORS[si % 2]}" stroke-width="1.4"/>'
+        )
+    # faint sticks underneath for peak positions
+    stick_scale = ymax / max((v for _, v in sets[0]), default=1.0)
+    for shift, inten in sets[0]:
+        px, py = to_px(shift, inten * stick_scale * 0.25)
+        _, py0 = to_px(shift, 0.0)
+        parts.append(
+            f'<line x1="{px:.1f}" y1="{py0:.1f}" x2="{px:.1f}" y2="{py:.1f}" stroke="{_COLORS[0]}" stroke-width="0.8" opacity="0.45"/>'
+        )
+    return _finish(parts, legend)
+
+
 def plot_2d_scatter(
     peaks: Sequence[Sequence[float]],
     overlay: Optional[Sequence[Sequence[float]]] = None,
@@ -171,6 +210,8 @@ def plot_record(record, modality: str, overlay_record=None) -> Optional[str]:
     legend = ["primary", "overlay"] if o is not None else None
     if modality == "1H" and record.h1:
         return plot_1d_sticks(record.h1, o.h1 if o and o.h1 else None, title=f"1H — {record.smiles}", legend=legend)
+    if modality == "1H_shape" and record.h1:
+        return plot_1h_lorentzian(record.h1, o.h1 if o and o.h1 else None, title=f"1H — {record.smiles}", legend=legend)
     if modality == "13C" and record.c13:
         peaks = [[c, 1.0] for c in record.c13]
         over = [[c, 1.0] for c in o.c13] if o and o.c13 else None
