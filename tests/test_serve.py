@@ -100,9 +100,12 @@ def test_simulate_job_and_plots(server):
     assert d["status"] == "done", d
     assert d["result"]["n_simulated"] == 2
     # plots for each modality
-    for modality in ("1H", "13C", "HSQC", "COSY"):
+    for modality in ("1H", "1H_shape", "13C", "HSQC", "COSY"):
         ctype, body = _get(f"{base}/api/plot?source=sim&sample_id=s0&modality={modality}")
         assert "svg" in ctype and body.startswith(b"<svg"), modality
+    # the Lorentzian line-shape plot is continuous (polyline), not sticks
+    _, body = _get(f"{base}/api/plot?source=sim&sample_id=s0&modality=1H_shape")
+    assert b"polyline" in body
     # console log was streamed
     assert any("simulating" in ln for ln in d["log"])
 
