@@ -272,6 +272,9 @@ def cmd_train_clip(args) -> int:
         params = ckpt.import_params_msgpack(template, args.params)
     else:
         params = mmt.init_params(mcfg, jax.random.PRNGKey(args.seed))
+    heldout = []
+    if args.eval_n > 0:
+        heldout, records = records[: args.eval_n], records[args.eval_n :]
     ccfg = contrastive.ContrastiveConfig(
         learning_rate=args.lr, num_epochs=args.epochs,
         batch_size=args.batch_size, max_steps=args.steps,
@@ -282,7 +285,13 @@ def cmd_train_clip(args) -> int:
         checkpoint_path=os.path.join(args.out, f"{args.tower}.msgpack") if args.out else None,
     )
     last = [r for r in logger.history if f"{args.tower}_loss" in r]
-    print(json.dumps({"steps": len(last), "final_loss": last[-1][f"{args.tower}_loss"] if last else None}))
+    out = {"steps": len(last), "final_loss": last[-1][f"{args.tower}_loss"] if last else None}
+    if heldout:
+        out["retrieval"] = contrastive.retrieval_accuracy(
+            variables, cfg, params, heldout, tower=args.tower,
+            batch_size=args.batch_size,
+        )
+    print(json.dumps(out))
     return 0
 
 
@@ -392,6 +401,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--epochs", type=int, default=3)
     sp.add_argument("--steps", type=int, default=0)
     sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--eval-n", type=int, default=0,
+                    help="hold out the first N records and report contrastive retrieval R@1/R@5 after training")
     sp.set_defaults(fn=cmd_train_clip)
 
     sp = sub.add_parser("vectorize", help="build a fingerprint vector DB")

@@ -38,6 +38,7 @@ def parse_args():
     p.add_argument("--train-seed", type=int, default=11)
     p.add_argument("--train-n", type=int, default=50000)
     p.add_argument("--heldout-seed", type=int, default=999)
+    p.add_argument("--records-cache", default="", help="pickle of pre-simulated held-out records (skips on-chip simulation)")
     p.add_argument("--chunk-size", type=int, default=48)
     p.add_argument("--fanout", type=int, default=128)
     p.add_argument("--multinom-runs", type=int, default=10)
@@ -97,8 +98,21 @@ def main() -> int:
     )
 
     t0 = time.time()
-    records = factory.simulate_records(heldout)
-    print(f"[acc] simulated {len(records)} records in {time.time()-t0:.0f}s", flush=True)
+    if args.records_cache and os.path.exists(args.records_cache):
+        import pickle
+
+        with open(args.records_cache, "rb") as f:
+            records = pickle.load(f)
+        records = [r for r in records if r.smiles in set(heldout)][: args.n]
+        print(f"[acc] loaded {len(records)} cached records", flush=True)
+    else:
+        records = factory.simulate_records(heldout)
+        if args.records_cache:
+            import pickle
+
+            with open(args.records_cache, "wb") as f:
+                pickle.dump(records, f)
+    print(f"[acc] records ready: {len(records)} in {time.time()-t0:.0f}s", flush=True)
 
     chunks = [records[i : i + args.chunk_size] for i in range(0, len(records), args.chunk_size)]
     mols = []
