@@ -103,7 +103,8 @@ def main() -> int:
 
         with open(args.records_cache, "rb") as f:
             records = pickle.load(f)
-        records = [r for r in records if r.smiles in set(heldout)][: args.n]
+        keep = set(heldout)
+        records = [r for r in records if r.smiles in keep][: args.n]
         print(f"[acc] loaded {len(records)} cached records", flush=True)
     else:
         records = factory.simulate_records(heldout)
