@@ -114,10 +114,13 @@ def main_e2e() -> None:
             for r in records
         ]
 
-    # warmup: compile every stage once before timing; CLIP runs on a fixed
-    # candidate block so one executable serves every molecule.
+    # warmup: compile every stage once before timing — including the device
+    # spectral scorer (simulate_errors=True), whose auction-kernel compile
+    # would otherwise land inside the first timed rep on a cold XLA cache.
+    # CLIP runs on a fixed candidate block so one executable serves every
+    # molecule.
     harness.evaluate_molecules(
-        records, params, cfg, dcfg, clip_bundle=(cvars, ccfg), simulate_errors=False,
+        records, params, cfg, dcfg, clip_bundle=(cvars, ccfg), simulate_errors=True,
         clip_block=dcfg.multinom_runs, extra_candidates=extras,
     )
 

@@ -66,20 +66,38 @@ def _load_records(args, mcfg):
         from .data import molrandom
         from .sim import factory as sim_factory
 
+        fseed = getattr(args, "factory_seed", -1)
+        fseed = fseed if fseed >= 0 else args.seed
         cache = getattr(args, "factory_cache", "")
         if cache and os.path.exists(cache):
             with open(cache, "rb") as f:
-                return pickle.load(f)
-        fseed = getattr(args, "factory_seed", -1)
-        smiles = molrandom.random_corpus(
-            args.factory, seed=fseed if fseed >= 0 else args.seed
-        )
+                cached = pickle.load(f)
+            # keyed caches record their generation params; legacy caches are
+            # bare lists — for those only the count is checkable
+            if isinstance(cached, dict):
+                if cached.get("n") != args.factory or cached.get("seed") != fseed:
+                    raise SystemExit(
+                        f"--factory-cache {cache} was generated with "
+                        f"n={cached.get('n')} seed={cached.get('seed')}, but this run "
+                        f"asked for n={args.factory} seed={fseed}; delete the cache "
+                        "or point --factory-cache elsewhere"
+                    )
+                return cached["records"]
+            if len(cached) > args.factory or len(cached) < args.factory * 0.8:
+                print(
+                    f"[warn] --factory-cache {cache} holds {len(cached)} records but "
+                    f"this run asked for --factory {args.factory} (legacy unkeyed "
+                    "cache: seed not checkable) — delete it to regenerate",
+                    file=sys.stderr, flush=True,
+                )
+            return cached
+        smiles = molrandom.random_corpus(args.factory, seed=fseed)
         records = sim_factory.simulate_records(
             smiles, sample_ids=[f"f{i}" for i in range(len(smiles))]
         )
         if cache:
             with open(cache, "wb") as f:
-                pickle.dump(records, f)
+                pickle.dump({"n": args.factory, "seed": fseed, "records": records}, f)
         return records
     if args.synthetic:
         return dp.synthetic_dataset(args.synthetic, seed=args.seed)

@@ -201,6 +201,20 @@ def evaluate_molecules(
     if not feats:
         return [], EvalSummary()
 
+    n_real = len(feats)
+    if mesh is not None:
+        # batch_sharding partitions axis 0 data_extent-ways; pad by repeating
+        # the last record so any post-featurization count divides evenly, and
+        # trim the duplicate results before summarizing below
+        from .. import parallel
+
+        ext = parallel.data_extent(mesh)
+        pad = (-n_real) % ext
+        feats = feats + [feats[-1]] * pad
+        kept_records = kept_records + [kept_records[-1]] * pad
+        if kept_extras is not None:
+            kept_extras = kept_extras + [()] * pad
+
     tb = dp.collate(feats)
     inputs = jax.tree.map(jnp.asarray, tb.inputs)
     if mesh is not None:
@@ -435,6 +449,7 @@ def evaluate_molecules(
         results.append(res)
 
     mark("per_mol_assembly")
+    results = results[:n_real]  # drop mesh-divisibility pad duplicates
     summary = summarize(results)
     mark("summarize")
     if profile:
@@ -476,10 +491,11 @@ def rank_candidates_by_error(res: MoleculeResult, mf_filter: bool = True) -> lis
     return [cands[int(j)] for j in order]
 
 
-def top_k_accuracy(results: Sequence[MoleculeResult], ks=(1, 3, 5, 10, 20), mf_filter: bool = True) -> dict:
-    """Fraction of molecules whose true structure appears in the top-k of
-    the error ranking (reference calculate_top_k_accuracy,
-    `experiment_function_v15_4.py:885-901`)."""
+def top_k_hits(results: Sequence[MoleculeResult], ks=(1, 3, 5, 10, 20), mf_filter: bool = True) -> tuple[dict, int]:
+    """Raw (hits-per-k, denominator) counts behind :func:`top_k_accuracy`.
+
+    Exposed separately so multi-chunk drivers can pool accuracies over the
+    true molecule counts instead of averaging per-chunk fractions."""
     hits = {k: 0 for k in ks}
     n = 0
     for res in results:
@@ -490,6 +506,14 @@ def top_k_accuracy(results: Sequence[MoleculeResult], ks=(1, 3, 5, 10, 20), mf_f
         for k in ks:
             if any(c.exact for c in ranked[:k]):
                 hits[k] += 1
+    return hits, n
+
+
+def top_k_accuracy(results: Sequence[MoleculeResult], ks=(1, 3, 5, 10, 20), mf_filter: bool = True) -> dict:
+    """Fraction of molecules whose true structure appears in the top-k of
+    the error ranking (reference calculate_top_k_accuracy,
+    `experiment_function_v15_4.py:885-901`)."""
+    hits, n = top_k_hits(results, ks, mf_filter)
     return {k: (hits[k] / n if n else 0.0) for k in ks}
 
 

@@ -131,8 +131,11 @@ def umap_embed(
         ii, jj = ei[active], ej[active]
         d = emb[ii] - emb[jj]
         d2 = (d * d).sum(1)
-        # attractive gradient
-        g = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2**b)
+        # attractive gradient; coincident points (d2 == 0, e.g. duplicate
+        # fingerprints sharing the PCA init) get zero force, not 0**(b-1)=inf
+        safe_d2 = np.where(d2 > 0.0, d2, 1.0)
+        g = (-2.0 * a * b * safe_d2 ** (b - 1.0)) / (1.0 + a * safe_d2**b)
+        g = np.where(d2 > 0.0, g, 0.0)
         g = np.clip(g[:, None] * d, -4.0, 4.0)
         np.add.at(emb, ii, alpha * g)
         np.add.at(emb, jj, -alpha * g)

@@ -86,6 +86,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def data_extent(mesh: Mesh) -> int:
+    """Number of ways :func:`batch_sharding` partitions the batch dim —
+    batch sizes must be padded to a multiple of this before device_put."""
+    n = mesh.shape[DATA_AXIS]
+    if DCN_AXIS in mesh.axis_names:
+        n *= mesh.shape[DCN_AXIS]
+    return n
+
+
 def shard_for_inference(mesh: Mesh, params: Any, *batch_arrays: Any):
     """Replicate ``params`` and shard each array's leading (batch) dim over
     the mesh's data-parallel axes for fan-out decoding.

@@ -361,7 +361,8 @@ def lm_generate_greedy(
     cache (the vendored BertLMHeadModel's ``past_key_values`` surface,
     `Qformer_v15_4.py:111-277,1017-1131`): the query prefix is encoded
     once, its per-layer K/V cached, then each text step appends one K/V
-    column instead of re-running the prefix. Returns [B, max_len] ids."""
+    column instead of re-running the prefix. Lanes that emit ``eos`` are
+    frozen: every later position repeats ``eos``. Returns [B, max_len] ids."""
     params = variables["params"]
     qp = params["qformer"]
     c = qcfg
@@ -414,7 +415,7 @@ def lm_generate_greedy(
     lm = params["lm_head"]
 
     def step(carry, t):
-        tokens, ks, vs = carry
+        tokens, done, ks, vs = carry
         tok = tokens[:, t]
         xt = word[tok][:, None, :] + pos[t][None, None, :]
         xt = _norm(emb_norm, xt)
@@ -440,12 +441,13 @@ def lm_generate_greedy(
         h_out = jax.nn.gelu(h_out, approximate=False)
         h_out = _norm(lm["transform_norm"], h_out)
         logits = h_out @ word.T + lm["bias"]
-        nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(done, eos, jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        done = done | (nxt == eos)
         tokens = tokens.at[:, t + 1].set(nxt)
-        return (tokens, new_ks, new_vs), None
+        return (tokens, done, new_ks, new_vs), None
 
     tokens0 = jnp.full((B, max_len + 1), sos, jnp.int32)
-    carry = (tokens0, caches_k, caches_v)
+    carry = (tokens0, jnp.zeros((B,), bool), caches_k, caches_v)
     for t in range(max_len):
         carry, _ = step(carry, t)
     return carry[0][:, 1:]

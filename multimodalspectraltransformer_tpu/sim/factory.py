@@ -28,7 +28,6 @@ from ..chem import api as chem
 from ..chem.smiles import Mol, parse_smiles
 from ..data.pipeline import SampleRecord
 from . import reconstruct, shift_rules
-from .graphs import batch_graphs
 from .reconstruct import AtomShifts
 
 MAX_MW = 550.0  # reference SGNN_size_filter
@@ -99,18 +98,6 @@ def _jitted_apply(model, params, nodes, adj, mask):
 
         _apply_model_jit = jax.jit(_apply_model, static_argnums=(0,))
     return _apply_model_jit(model, params, nodes, adj, mask)
-
-
-def predict_shifts_gnn(params, model, graphs, stats: ShiftStats) -> list[AtomShifts]:
-    """Batched shift prediction via NMRShiftModel (denormalized to ppm)."""
-    batch = batch_graphs(graphs)
-    c_n, h_n = _jitted_apply(model, params, batch["nodes"], batch["adj"], batch["node_mask"])
-    c = np.asarray(c_n) * stats.std_c + stats.mean_c
-    h = np.asarray(h_n) * stats.std_h + stats.mean_h
-    out = []
-    for b, g in enumerate(graphs):
-        out.append(AtomShifts(c[b, : g.n_atoms], h[b, : g.n_atoms]))
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -194,12 +181,24 @@ def simulate_records(
     from .distill import featurize_compact
 
     mols, metas = [], []
+    n_oversized = 0
     for idx, can in kept:
         mol = parse_smiles(can)
         if featurize_compact(mol, max_nodes) is None:
+            # distinct from the MW/valence filters above: graph exceeds the
+            # GNN featurization budget (>max_nodes atoms or >MAX_EDGES bonds)
+            n_oversized += 1
             continue
         mols.append(mol)
         metas.append((sample_ids[idx], can))
+    if n_oversized:
+        import sys
+
+        print(
+            f"[sim.factory] dropped {n_oversized} molecule(s) exceeding the GNN "
+            f"featurization budget (> {max_nodes} atoms or > 96 bonds)",
+            file=sys.stderr, flush=True,
+        )
     if not mols:
         return []
 

@@ -127,19 +127,22 @@ def main() -> int:
                 prev = json.load(f)
             if prev.get("digest") == digest:
                 mols.extend(prev["molecules"])
-                topk_results.append(prev.get("top_k", {}))
+                topk_results.append((prev.get("top_k_hits", {}), prev.get("top_k_n", 0)))
                 continue
         t0 = time.time()
         results, summary = harness.evaluate_molecules(
             chunk, params, mcfg, dcfg, rng=jax.random.PRNGKey(1000 + ci),
             simulate_errors=True,
         )
-        top_k = {str(k): v for k, v in harness.top_k_accuracy(results).items()}
+        hits, topk_n = harness.top_k_hits(results)
+        top_k_hits = {str(k): v for k, v in hits.items()}
         payload = {
             "chunk": ci,
             "digest": digest,
             "wall_s": time.time() - t0,
-            "top_k": top_k,
+            "top_k": {k: (v / topk_n if topk_n else 0.0) for k, v in top_k_hits.items()},
+            "top_k_hits": top_k_hits,
+            "top_k_n": topk_n,
             "molecules": [
                 {
                     "target": r.target,
@@ -157,7 +160,7 @@ def main() -> int:
         with open(path, "w") as f:
             json.dump(payload, f)
         mols.extend(payload["molecules"])
-        topk_results.append(top_k)
+        topk_results.append((top_k_hits, topk_n))
         done = sum(len(c["molecules"]) if isinstance(c, dict) else 0 for c in [payload])
         print(
             f"[acc] chunk {ci+1}/{len(chunks)}: {len(results)} mols {payload['wall_s']:.0f}s | "
@@ -168,12 +171,12 @@ def main() -> int:
 
     n = len(mols)
     mean = lambda k: sum(float(m[k]) for m in mols) / max(n, 1)
-    # aggregate top-k by-error accuracy over all chunks (weighted by chunk n)
+    # pool top-k by-error accuracy over all chunks: sum(hits) / sum(denominators)
     topk_agg: dict[str, float] = {}
+    total_topk_n = sum(cn for _, cn in topk_results)
     for k in ("1", "3", "5", "10", "20"):
-        vals = [tk.get(k) for tk in topk_results if tk and tk.get(k) is not None]
-        if vals:
-            topk_agg[k] = sum(vals) / len(vals)
+        if total_topk_n:
+            topk_agg[k] = sum(ch.get(k, 0) for ch, _ in topk_results) / total_topk_n
 
     report = {
         "tag": args.tag,
@@ -184,6 +187,7 @@ def main() -> int:
         "best_tanimoto": mean("best_tanimoto"),
         "corr_sampling_prob": mean("corr_sampling_prob"),
         "top_k_by_error": topk_agg,
+        "top_k_n": total_topk_n,
         "wall_s_total": time.time() - t_all,
         "params": args.params,
         "fanout": args.fanout,

@@ -142,3 +142,15 @@ def test_sharded_harness_round_matches_single_device():
         sorted(c.smiles for c in r.candidates) for r in sh_res
     ]
     assert np.isclose(ref_sum.greedy_tanimoto, sh_sum.greedy_tanimoto)
+
+    # non-divisible batch: 6 records on a data=8 mesh must pad internally
+    # (repeat-last) and trim the duplicates, not raise on device_put
+    short = records[:6]
+    np_res, _ = harness.evaluate_molecules(
+        short, params, MCFG, dcfg, jax.random.PRNGKey(9)
+    )
+    sp_res, _ = harness.evaluate_molecules(
+        short, params, MCFG, dcfg, jax.random.PRNGKey(9), mesh=mesh
+    )
+    assert len(sp_res) == 6
+    assert [r.greedy for r in np_res] == [r.greedy for r in sp_res]

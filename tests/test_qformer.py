@@ -139,16 +139,27 @@ def test_lm_generate_matches_teacher_forced():
     gen = qformer.lm_generate_greedy(variables, LMCFG, memory, kpm, max_len)
     assert gen.shape == (2, max_len)
 
-    # oracle: grow the prefix, full forward each step
+    # oracle: grow the prefix, full forward each step, with the same
+    # freeze-after-EOS semantics as lm_generate_greedy
     seq = np.full((2, 1), 3, np.int64)  # SOS
+    done = np.zeros(2, bool)
     for _ in range(max_len):
         pad = np.zeros_like(seq, np.float32)
         logits = model.apply(
             variables, jnp.asarray(seq), jnp.asarray(pad), memory, kpm, method="lm_logits"
         )
         nxt = np.argmax(np.asarray(logits)[:, -1], axis=-1)
+        nxt = np.where(done, 2, nxt)
+        done |= nxt == 2
         seq = np.concatenate([seq, nxt[:, None]], axis=1)
     np.testing.assert_array_equal(np.asarray(gen), seq[:, 1:])
+
+    # freeze property: nothing but EOS may follow the first EOS
+    g = np.asarray(gen)
+    for row in g:
+        hits = np.nonzero(row == 2)[0]
+        if hits.size:
+            assert (row[hits[0]:] == 2).all()
 
 
 def test_from_hf_bert_conversion():

@@ -128,3 +128,19 @@ def test_umap_separates_clusters():
     assert sep > 2 * spread
     e2 = umap_embed(x, n_epochs=100, random_state=1)
     np.testing.assert_array_equal(e, e2)
+
+
+def test_umap_duplicate_rows_stay_finite():
+    """Duplicate input vectors (identical fingerprints) are mutual kNN
+    neighbors with coincident PCA-init coordinates; the attractive gradient
+    must not emit inf/NaN for them (regression: 0**(b-1) = inf)."""
+    import numpy as np
+
+    from multimodalspectraltransformer_tpu.eval.umap import umap_embed
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1.0, (40, 16))
+    x[1] = x[0]  # exact duplicate pair
+    x[21] = x[20]
+    e = umap_embed(x, n_epochs=60, random_state=2)
+    assert np.isfinite(e).all()
