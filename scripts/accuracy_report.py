@@ -121,13 +121,20 @@ def main() -> int:
                 pickle.dump(records, f)
     print(f"[acc] records ready: {len(records)} in {time.time()-t0:.0f}s", flush=True)
 
+    # chunk-result caching must be keyed on the checkpoint too: the same
+    # held-out chunk evaluated under a different params file is different work
+    with open(args.params, "rb") as f:
+        params_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+
     chunks = [records[i : i + args.chunk_size] for i in range(0, len(records), args.chunk_size)]
     mols = []
     topk_results = []
     t_all = time.time()
     for ci, chunk in enumerate(chunks):
         path = os.path.join(args.out, f"chunk_{ci:04d}.json")
-        digest = hashlib.sha256("|".join(r.smiles for r in chunk).encode()).hexdigest()[:16]
+        digest = hashlib.sha256(
+            ("|".join(r.smiles for r in chunk) + "#" + params_hash).encode()
+        ).hexdigest()[:16]
         if os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)

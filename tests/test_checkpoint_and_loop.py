@@ -64,6 +64,24 @@ def test_params_msgpack_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_params_msgpack_bf16_gz_round_trip(tmp_path):
+    """Repo-committable artifact: bf16-cast + gzipped export restores into
+    an f32 template with only bf16 quantization error, and transparently
+    (same import call as the plain path)."""
+    import jax.numpy as jnp
+
+    params = mmt.init_params(MCFG, jax.random.PRNGKey(0))
+    path = str(tmp_path / "params.msgpack.gz")
+    ckpt.export_params_msgpack(params, path, dtype=jnp.bfloat16)
+    loaded = ckpt.import_params_msgpack(params, path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert b.dtype == a.dtype
+        np.testing.assert_allclose(
+            a.astype(np.float32), b.astype(np.float32), rtol=8e-3, atol=1e-6
+        )
+
+
 def test_run_training_smoke(tmp_path):
     recs = dp.synthetic_dataset(16, seed=3)
     loader = dp.Loader(recs, MCFG, batch_size=8, seed=0)
