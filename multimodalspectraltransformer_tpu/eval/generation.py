@@ -146,6 +146,19 @@ def generate_candidates_batch(
     want = dcfg.multinom_runs
     compute_dtype = compute_dtype or dcfg.compute_dtype
 
+    # optional beam augmentation (dcfg.beam_candidates > 0): dispatch one
+    # batched beam decode up front; its hypotheses are merged into each
+    # pool after the sampling rounds, through the same canonicalize/dedup/
+    # MW filter. The fetch happens last, so the beam work rides the same
+    # device queue as round 0 and overlaps the host-side filtering.
+    beam_pending = None
+    if dcfg.beam_candidates > 0:
+        beam_pending = samplers.beam_search(
+            params, mcfg, memory, memory_kpm,
+            beam_size=dcfg.beam_candidates, max_len=dcfg.max_len,
+            compute_dtype=compute_dtype,
+        )
+
     def dispatch(round_idx: int):
         # one lane-temp VECTOR (not scalar) so the executable is shared with
         # the non-pipelined per-molecule-escalation variant below
@@ -192,6 +205,29 @@ def generate_candidates_batch(
         if nxt is None and round_idx + 1 < dcfg.max_temp_rounds:
             nxt = dispatch(round_idx + 1)
         pending = nxt
+
+    if beam_pending is not None:
+        K = dcfg.beam_candidates
+        btoks = np.asarray(beam_pending.tokens)  # [B, K, T]
+        bscores = np.asarray(beam_pending.scores)  # [B, K] summed log-probs
+        canons = chem.batch_canonicalize(
+            [vocab.ids_to_smiles(r) for r in btoks.reshape(B * K, -1)]
+        )
+        for b in range(B):
+            out, seen = outs[b], seens[b]
+            tmw = (target_mws[b] if target_mws is not None else None) if dcfg.mw_filter else None
+            for k in range(K):
+                can = canons[b * K + k]
+                out.n_sampled += 1
+                if can is None or can in seen:
+                    continue
+                if tmw is not None:
+                    mw = chem.mol_wt(can)
+                    if mw is None or abs(round(mw) - round(tmw)) > dcfg.mw_delta:
+                        continue
+                seen.add(can)
+                out.smiles.append(can)
+                out.seq_probs.append(float(np.exp(bscores[b, k])))
     return outs
 
 

@@ -281,6 +281,10 @@ class DecodeConfig:
     temp_increment: float = 0.1
     mw_filter: bool = True
     mw_delta: float = 0.5  # +- window on rounded MW
+    # also add the top-K beam hypotheses to each molecule's candidate pool
+    # (beyond the reference's multinomial-only protocol — default off so the
+    # MNS numbers stay comparable; one extra beam decode per batch when on)
+    beam_candidates: int = 0
     # decoder compute dtype for generation ("bfloat16" halves the dominant
     # HBM streams; token selection math stays fp32). None = memory dtype.
     compute_dtype: Optional[str] = None

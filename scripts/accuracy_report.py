@@ -44,6 +44,9 @@ def parse_args():
     p.add_argument("--multinom-runs", type=int, default=10)
     p.add_argument("--rounds", type=int, default=10)
     p.add_argument("--max-len", type=int, default=64)
+    p.add_argument("--beam", type=int, default=0,
+                   help="also pool the top-K beam hypotheses per molecule "
+                        "(beyond the reference's multinomial-only protocol)")
     p.add_argument("--out", default="runs/accuracy_r02")
     p.add_argument("--tag", default="r02")
     p.add_argument("--bf16", action="store_true", default=True)
@@ -101,6 +104,7 @@ def main() -> int:
         max_len=args.max_len, fanout=args.fanout,
         multinom_runs=args.multinom_runs, max_temp_rounds=args.rounds,
         mw_filter=True, compute_dtype="bfloat16" if args.bf16 else None,
+        beam_candidates=args.beam,
     )
 
     t0 = time.time()
@@ -125,6 +129,8 @@ def main() -> int:
     # held-out chunk evaluated under a different params file is different work
     with open(args.params, "rb") as f:
         params_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    if args.beam:
+        params_hash += f"+beam{args.beam}"
 
     chunks = [records[i : i + args.chunk_size] for i in range(0, len(records), args.chunk_size)]
     mols = []
@@ -242,6 +248,7 @@ def main() -> int:
         "params": args.params,
         "fanout": args.fanout,
         "multinom_runs": args.multinom_runs,
+        "beam_candidates": args.beam,
         "heldout_seed": args.heldout_seed,
         "reference": {
             "zinc_0_250_mns_exact": 0.911,

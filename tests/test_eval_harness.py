@@ -60,6 +60,40 @@ def test_generate_candidates_filters():
     assert all(0 <= p <= 1 for p in cand.seq_probs)
 
 
+def test_beam_candidates_augment_pool():
+    """DecodeConfig.beam_candidates merges the batched beam hypotheses into
+    each molecule's candidate pool through the same canonicalize/dedup
+    filter: every valid beam hypothesis must be present, and pools stay
+    deduped valid-canonical."""
+    from multimodalspectraltransformer_tpu.chem import api as chem
+    from multimodalspectraltransformer_tpu.decode import samplers
+    from multimodalspectraltransformer_tpu.utils import vocab
+
+    params, recs = _trained_params()
+    model = mmt.MultimodalTransformer(MCFG)
+    tb = dp.collate([dp.featurize(r, MCFG) for r in recs[:3]])
+    enc = harness._encode_batch(model, params, jax.tree.map(jnp.asarray, tb.inputs))
+    dcfg = DecodeConfig(max_len=32, fanout=4, multinom_runs=2, max_temp_rounds=2,
+                        mw_filter=False, beam_candidates=3, lookahead=False)
+    cands = generation.generate_candidates_batch(
+        params, MCFG, enc.memory, enc.memory_key_padding_mask, jax.random.PRNGKey(0), dcfg
+    )
+    beam = samplers.beam_search(
+        params, MCFG, enc.memory, enc.memory_key_padding_mask, beam_size=3, max_len=32
+    )
+    btoks = np.asarray(beam.tokens)
+    for b, cs in enumerate(cands):
+        assert len(set(cs.smiles)) == len(cs.smiles)
+        for s in cs.smiles:
+            assert chem.is_valid(s) and chem.canonicalize(s) == s
+        beam_cans = {
+            c for c in chem.batch_canonicalize(
+                [vocab.ids_to_smiles(btoks[b, k]) for k in range(3)]
+            ) if c is not None
+        }
+        assert beam_cans <= set(cs.smiles)
+
+
 def test_mw_filter_rejects_wrong_mass():
     params, recs = _trained_params()
     model = mmt.MultimodalTransformer(MCFG)
