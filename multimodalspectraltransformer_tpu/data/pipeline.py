@@ -388,12 +388,18 @@ class Loader:
     # tiny (batch_size * 4 B) index upload. TPU-idiomatic: static shapes,
     # one executable, data stays in HBM.
 
-    def device_dataset(self, max_bytes: int = 2 << 30):
+    def device_dataset(self, max_bytes: Optional[int] = None):
         """One TrainBatch holding every featurizable record, device_put.
 
         Returns None when featurization is stochastic (augmentation needs
         fresh host features each epoch) or the dataset exceeds
-        ``max_bytes``. Cached after the first call."""
+        ``max_bytes`` (default 6 GiB — v5e HBM is 16 GiB and the full model
+        + optimizer take ~1.5 GiB; override with MMT_DEVICE_DATASET_GB).
+        Cached after the first call. Falling back to the host loader is an
+        ~8x training slowdown on the tunneled backend, so every fallback
+        prints its reason."""
+        if max_bytes is None:
+            max_bytes = int(float(os.environ.get("MMT_DEVICE_DATASET_GB", "6")) * (1 << 30))
         if self._stochastic():
             return None
         cached = getattr(self, "_device_dataset", None)
@@ -422,6 +428,14 @@ class Loader:
         big = collate(feats)
         nbytes = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(big))
         if nbytes > max_bytes:
+            import sys
+
+            print(
+                f"device_dataset: featurized set is {nbytes / (1 << 30):.1f} GiB "
+                f"> cap {max_bytes / (1 << 30):.1f} GiB; falling back to the host "
+                "path (raise MMT_DEVICE_DATASET_GB if it fits HBM)",
+                file=sys.stderr,
+            )
             return None
         self._device_kept_smiles = kept_smiles
         self._device_dataset = jax.tree_util.tree_map(jnp.asarray, big)
