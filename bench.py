@@ -73,10 +73,12 @@ def main_e2e() -> None:
     # extras are needed to load the CLIP/simulation/ranking stages.
     params_path = os.environ.get("BENCH_PARAMS", "")
     if not params_path:
-        default_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "weights", "mmt_r2_params.msgpack")
-        if os.path.exists(default_w):
-            params_path = default_w
+        for name in ("mmt_r2_params.msgpack", "mmt_r2_params.msgpack.gz"):
+            default_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "weights", name)
+            if os.path.exists(default_w):
+                params_path = default_w
+                break
     trained = bool(params_path)
     if trained:
         from multimodalspectraltransformer_tpu.data import molrandom

@@ -130,6 +130,8 @@ def cmd_train(args) -> int:
     from .train.loop import run_training
     from .utils.config import DataConfig, MMTConfig, TrainConfig
 
+    if getattr(args, "feature_cache", ""):
+        os.environ["MMT_FEATURE_CACHE"] = args.feature_cache
     mcfg = _model_cfg(args)
     cfg = MMTConfig(
         model=mcfg,
@@ -237,6 +239,7 @@ def cmd_improve(args) -> int:
         molgen=MolGenConfig(generations_per_target=args.generations),
         steps_per_cycle=args.steps,
         include_targets_in_training=args.include_targets,
+        model_neighbors=args.model_neighbors,
     )
     new_params, reports = run_improvement_cycle(cfg, targets, params, icfg)
     os.makedirs(args.out, exist_ok=True)
@@ -374,6 +377,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pre-expanded SMILES-variant augmentation factor (deterministic; keeps the HBM-resident dataset path)")
     sp.add_argument("--blank", type=float, default=0.0,
                     help="random modality blanking percentage (reference blank_percentage)")
+    sp.add_argument("--feature-cache", default="",
+                    help="directory for the featurized-dataset disk cache "
+                         "(sets MMT_FEATURE_CACHE; skips the multi-minute host "
+                         "featurization on repeat runs over the same corpus)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("evaluate", help="run the evaluation harness")
@@ -398,6 +405,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--generations", type=int, default=30)
     sp.add_argument("--steps", type=int, default=0)
     sp.add_argument("--include-targets", action="store_true")
+    sp.add_argument("--model-neighbors", action="store_true",
+                    help="also sample neighbors from the MMT decoder itself")
     sp.set_defaults(fn=cmd_improve)
 
     sp = sub.add_parser("bench", help="throughput benchmark")

@@ -388,6 +388,48 @@ class Loader:
     # tiny (batch_size * 4 B) index upload. TPU-idiomatic: static shapes,
     # one executable, data stays in HBM.
 
+    def features_digest(self) -> str:
+        """Content hash identifying the featurized form of this dataset:
+        record contents + the model's static layout + featurize options +
+        the featurize/collate source itself (so code changes invalidate
+        cached features without a hand-maintained version number)."""
+        import hashlib
+        import inspect
+
+        h = hashlib.sha256()
+        h.update(inspect.getsource(featurize).encode())
+        h.update(inspect.getsource(collate).encode())
+        h.update(repr((
+            self.mcfg.spectrum_points, self.mcfg.ir_bins, self.mcfg.mf_len,
+            self.mcfg.ms_len, self.mcfg.fingerprint_size,
+        )).encode())
+        h.update(repr(dataclasses.asdict(self.opts)).encode())
+        h.update(str(len(self.records)).encode())
+        for r in self.records:
+            h.update(r.smiles.encode())
+            for v in (r.h1, r.c13, r.hsqc, r.cosy, r.ir):
+                h.update(b";")
+                if v is not None:
+                    h.update(np.asarray(v, np.float32).tobytes())
+            h.update(b"\n")
+        return h.hexdigest()[:16]
+
+    @staticmethod
+    def _save_features_npz(path: str, big: TrainBatch) -> None:
+        arrays = {f"inputs_{k}": getattr(big.inputs, k) for k in MMTBatch._fields}
+        arrays["trg_tokens"] = big.trg_tokens
+        arrays["trg_fp"] = big.trg_fp
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _load_features_npz(path: str) -> TrainBatch:
+        z = np.load(path)
+        inputs = MMTBatch(**{k: z[f"inputs_{k}"] for k in MMTBatch._fields})
+        return TrainBatch(inputs, z["trg_tokens"], z["trg_fp"])
+
     def device_dataset(self, max_bytes: Optional[int] = None):
         """One TrainBatch holding every featurizable record, device_put.
 
@@ -397,7 +439,14 @@ class Loader:
         + optimizer take ~1.5 GiB; override with MMT_DEVICE_DATASET_GB).
         Cached after the first call. Falling back to the host loader is an
         ~8x training slowdown on the tunneled backend, so every fallback
-        prints its reason."""
+        prints its reason.
+
+        Set ``MMT_FEATURE_CACHE=<dir>`` to also persist the featurized
+        arrays to disk, keyed by :meth:`features_digest` — host
+        featurization of a multi-100k-record corpus costs tens of minutes
+        of chemistry; reloading the cached ``.npz`` takes seconds. The
+        cache is only written when EVERY record featurized (the only case
+        this method returns the dataset), so a hit implies full coverage."""
         if max_bytes is None:
             max_bytes = int(float(os.environ.get("MMT_DEVICE_DATASET_GB", "6")) * (1 << 30))
         if self._stochastic():
@@ -405,27 +454,42 @@ class Loader:
         cached = getattr(self, "_device_dataset", None)
         if cached is not None:
             return cached
-        feats, kept_smiles = [], []
-        for r in self.records:
-            f = featurize(r, self.mcfg, self.opts)
-            if f is not None:
-                feats.append(f)
-                kept_smiles.append(r.smiles)
-        if not feats:
-            return None
-        if len(feats) != len(self.records):
-            # batch compositions would silently diverge from the host path
-            # (epoch orders over all records, drops failures after
-            # batching); fall back to the host loader instead
-            import sys
 
-            print(
-                f"device_dataset: {len(self.records) - len(feats)} records "
-                "failed featurization; falling back to the host path",
-                file=sys.stderr,
+        cache_dir = os.environ.get("MMT_FEATURE_CACHE", "")
+        cache_path = None
+        big = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            cache_path = os.path.join(
+                cache_dir, f"mmt_features_{self.features_digest()}.npz"
             )
-            return None
-        big = collate(feats)
+            if os.path.exists(cache_path):
+                big = self._load_features_npz(cache_path)
+                print(f"device_dataset: loaded featurized cache {cache_path}")
+        if big is None:
+            feats = []
+            for r in self.records:
+                f = featurize(r, self.mcfg, self.opts)
+                if f is not None:
+                    feats.append(f)
+            if not feats:
+                return None
+            if len(feats) != len(self.records):
+                # batch compositions would silently diverge from the host path
+                # (epoch orders over all records, drops failures after
+                # batching); fall back to the host loader instead
+                import sys
+
+                print(
+                    f"device_dataset: {len(self.records) - len(feats)} records "
+                    "failed featurization; falling back to the host path",
+                    file=sys.stderr,
+                )
+                return None
+            big = collate(feats)
+            if cache_path is not None:
+                self._save_features_npz(cache_path, big)
+                print(f"device_dataset: wrote featurized cache {cache_path}")
         nbytes = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(big))
         if nbytes > max_bytes:
             import sys
@@ -437,7 +501,9 @@ class Loader:
                 file=sys.stderr,
             )
             return None
-        self._device_kept_smiles = kept_smiles
+        # every record featurized (both the freshly-built and the cache-hit
+        # path guarantee it), so the row<->record mapping is the identity
+        self._device_kept_smiles = [r.smiles for r in self.records]
         self._device_dataset = jax.tree_util.tree_map(jnp.asarray, big)
         return self._device_dataset
 

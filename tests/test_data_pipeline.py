@@ -185,3 +185,35 @@ def test_device_dataset_declined_when_stochastic():
         opts=dp.FeaturizeOptions(blank_percentage=0.3),
     )
     assert loader.device_dataset() is None
+
+def test_device_dataset_disk_cache_round_trip(tmp_path, monkeypatch):
+    """MMT_FEATURE_CACHE persists the featurized arrays; a fresh Loader
+    over the same records loads them bit-identically and keeps the
+    row<->record mapping, and a changed record invalidates the digest."""
+    monkeypatch.setenv("MMT_FEATURE_CACHE", str(tmp_path))
+    records = dp.synthetic_dataset(12, seed=5)
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+
+    first = dp.Loader(records, mcfg, batch_size=4, seed=1)
+    dd1 = first.device_dataset()
+    assert dd1 is not None
+    cache_files = list(tmp_path.glob("mmt_features_*.npz"))
+    assert len(cache_files) == 1
+
+    # a fresh loader must hit the cache: poison a featurize internal that is
+    # NOT part of the digest, so any re-featurization raises
+    second = dp.Loader(records, mcfg, batch_size=4, seed=1)
+    real_pad = dp._pad_points
+    monkeypatch.setattr(dp, "_pad_points", lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("cache miss: featurize ran")))
+    dd2 = second.device_dataset()
+    monkeypatch.setattr(dp, "_pad_points", real_pad)
+    for a, b in zip(jax.tree_util.tree_leaves(dd1), jax.tree_util.tree_leaves(dd2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert second._device_kept_smiles == [r.smiles for r in records]
+    assert list(second.epoch_row_batches(0))  # mapping usable after a hit
+
+    # different record contents -> different digest -> no false hit
+    mutated = dp.synthetic_dataset(12, seed=6)
+    assert dp.Loader(mutated, mcfg, batch_size=4).features_digest() != \
+        first.features_digest()
