@@ -296,6 +296,8 @@ def cmd_train_clip(args) -> int:
     heldout = []
     if args.eval_n > 0:
         heldout, records = records[: args.eval_n], records[args.eval_n :]
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
     ccfg = contrastive.ContrastiveConfig(
         learning_rate=args.lr, num_epochs=args.epochs,
         batch_size=args.batch_size, max_steps=args.steps,
