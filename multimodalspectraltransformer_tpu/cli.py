@@ -53,7 +53,7 @@ def _model_cfg(args):
 
     kw = {}
     if args.small:
-        kw = dict(num_encoder_layers=2, num_decoder_layers=2, ffn_dim=512)
+        return ModelConfig.small(**kw)
     return ModelConfig(**kw)
 
 
@@ -267,7 +267,7 @@ def cmd_serve(args) -> int:
     from .serve import ServerState, serve
     from .utils.config import ModelConfig
 
-    mcfg = ModelConfig(num_encoder_layers=2, num_decoder_layers=2) if args.small else ModelConfig()
+    mcfg = ModelConfig.small() if args.small else ModelConfig()
     state = ServerState(model_cfg=mcfg)
     if args.params:
         state.load_checkpoint(args.params)
@@ -283,7 +283,7 @@ def cmd_train_clip(args) -> int:
     from .train import contrastive
     from .utils.config import MMTConfig, ModelConfig
 
-    mcfg = ModelConfig(num_encoder_layers=2, num_decoder_layers=2) if args.small else ModelConfig()
+    mcfg = ModelConfig.small() if args.small else ModelConfig()
     cfg = MMTConfig(model=mcfg)
     records = _load_records(args, mcfg)
     if args.params:

@@ -343,7 +343,7 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
                     small = payload["preset"] == "small"
                     with st.lock:
                         st.model_cfg = (
-                            ModelConfig(num_encoder_layers=2, num_decoder_layers=2)
+                            ModelConfig.small()
                             if small else ModelConfig()
                         )
                         st.params = None  # re-init lazily for the new shape

@@ -153,6 +153,16 @@ class ModelConfig:
     # of one cheap recompute. Identical params and outputs.
     remat: bool = False
 
+    @classmethod
+    def small(cls, **overrides) -> "ModelConfig":
+        """The ONE canonical --small config (2+2 layers, ffn 512). Every
+        entry point must use this so a --small-trained checkpoint loads
+        back everywhere (a divergent ffn_dim made eval/serve reject
+        train's artifacts)."""
+        kw = dict(num_encoder_layers=2, num_decoder_layers=2, ffn_dim=512)
+        kw.update(overrides)
+        return cls(**kw)
+
     # ---- derived static layout -------------------------------------------------
     @property
     def cond_len(self) -> int:

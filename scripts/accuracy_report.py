@@ -96,7 +96,7 @@ def main() -> int:
         )
     assert len(heldout) >= args.n * 0.9, "too few held-out molecules"
 
-    mcfg = ModelConfig(num_encoder_layers=2, num_decoder_layers=2) if args.small else ModelConfig()
+    mcfg = ModelConfig.small() if args.small else ModelConfig()
     template = mmt.init_params(mcfg, jax.random.PRNGKey(0))
     params = ckpt.import_params_msgpack(template, args.params)
 

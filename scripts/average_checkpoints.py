@@ -47,10 +47,7 @@ def main() -> int:
     from multimodalspectraltransformer_tpu.train.state import create_state
     from multimodalspectraltransformer_tpu.utils.config import ModelConfig, TrainConfig
 
-    mcfg = (
-        ModelConfig(num_encoder_layers=2, num_decoder_layers=2, ffn_dim=512)
-        if args.small else ModelConfig()
-    )
+    mcfg = ModelConfig.small() if args.small else ModelConfig()
     params = mmt.init_params(mcfg, jax.random.PRNGKey(0))
     template = create_state(
         TrainConfig(learning_rate=args.lr, mixed_precision=args.bf16), params

@@ -70,7 +70,7 @@ def main() -> int:
         records = factory.simulate_records(smiles)
     print(f"[sweep] {len(records)} molecules", flush=True)
 
-    mcfg = ModelConfig(num_encoder_layers=2, num_decoder_layers=2) if args.small else ModelConfig()
+    mcfg = ModelConfig.small() if args.small else ModelConfig()
     if args.params:
         from multimodalspectraltransformer_tpu.train import checkpoint as ckpt
 
