@@ -92,6 +92,14 @@ def batch_morgan_fp(
     return fps, valid
 
 
+def batch_mol_formula(smiles_list: Sequence[str]) -> list[Optional[str]]:
+    """Molecular formula per item, None where invalid (native when built)."""
+    nat = _native()
+    if nat is not None:
+        return nat.batch_formula(smiles_list)
+    return [mol_formula(s) for s in smiles_list]
+
+
 def batch_exact_mol_wt(smiles_list: Sequence[str]) -> np.ndarray:
     """Exact MW per item; NaN where invalid."""
     nat = _native()

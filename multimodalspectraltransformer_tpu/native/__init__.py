@@ -94,6 +94,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int,
         ]
+        lib.ck_batch_formula.argtypes = [
+            c_char_pp, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
         lib.ck_batch_exact_mol_wt.argtypes = [
             c_char_pp, ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ]
@@ -208,6 +212,32 @@ def batch_canonicalize(smiles: Sequence[str], nthreads: int = 0) -> list[Optiona
     out = ctypes.create_string_buffer(n * _CANON_CAP)
     lengths = np.zeros(n, dtype=np.int32)
     lib.ck_batch_canonical(
+        arr, n, out, _CANON_CAP,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads,
+    )
+    results: list[Optional[str]] = []
+    raw = out.raw
+    for i in range(n):
+        ln = int(lengths[i])
+        if ln < 0:
+            results.append(None)
+        else:
+            start = i * _CANON_CAP
+            results.append(raw[start : start + ln].decode())
+    return results
+
+
+def batch_formula(smiles: Sequence[str], nthreads: int = 0) -> list[Optional[str]]:
+    """Molecular formula per item, None where invalid (parallel)."""
+    lib = _load()
+    assert lib is not None
+    if not smiles:
+        return []
+    arr, _keep = _smiles_array(smiles)
+    n = len(smiles)
+    out = ctypes.create_string_buffer(n * _CANON_CAP)
+    lengths = np.zeros(n, dtype=np.int32)
+    lib.ck_batch_formula(
         arr, n, out, _CANON_CAP,
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads,
     )

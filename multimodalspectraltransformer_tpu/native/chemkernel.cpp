@@ -1171,6 +1171,15 @@ void ck_batch_morgan_fp(const char* const* smiles, int n, int radius,
   });
 }
 
+// out: n * cap char buffer; lengths[i] = result length or -1 invalid
+void ck_batch_formula(const char* const* smiles, int n, char* out, int cap,
+                      int* lengths, int nthreads) {
+  if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+  parallel_for(n, nthreads, [&](int i) {
+    lengths[i] = ck_formula(smiles[i], out + (size_t)i * cap, cap);
+  });
+}
+
 void ck_batch_exact_mol_wt(const char* const* smiles, int n, double* out,
                            int nthreads) {
   if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();

@@ -98,11 +98,18 @@ def test_batch_apis_match_scalar():
             assert (fps[i] == pf).all()
 
 
+def test_batch_formula_matches_scalar():
+    forms = native.batch_formula(CORPUS)
+    for i, s in enumerate(CORPUS):
+        assert forms[i] == api.mol_formula(s)
+
+
 def test_chem_api_batch_dispatch():
     """chem.api batch entry points produce the same results regardless of
     which backend serves them."""
     assert api.batch_canonicalize(CORPUS) == [api.canonicalize(s) for s in CORPUS]
     assert list(api.batch_is_valid(CORPUS)) == [api.is_valid(s) for s in CORPUS]
+    assert api.batch_mol_formula(CORPUS) == [api.mol_formula(s) for s in CORPUS]
 
 
 def test_hungarian_matches_scipy():
