@@ -51,10 +51,7 @@ def cmd_simulate(args) -> int:
 def _model_cfg(args):
     from .utils.config import ModelConfig
 
-    kw = {}
-    if args.small:
-        return ModelConfig.small(**kw)
-    return ModelConfig(**kw)
+    return ModelConfig.small() if args.small else ModelConfig()
 
 
 def _load_records(args, mcfg):

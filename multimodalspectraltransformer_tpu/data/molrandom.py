@@ -132,9 +132,16 @@ def _linked_rings(rng: random.Random) -> Mol:
     step1 = _graft(a, rng.choice(sites_a), lm, 0)
     if step1 is None:
         return a
-    # link fragment occupies the tail of step1; bond its last atom to b
-    link_last = step1.num_atoms - 1
-    if step1.total_h(link_last) < 1:
+    # link fragment occupies the tail of step1; bond b to the last linker
+    # atom that still has an H to give (for "C(=O)" / "NC(=O)" /
+    # "S(=O)(=O)" the final atom is a double-bonded O with no H — the
+    # attachment point is the carbonyl C / sulfonyl S before it)
+    link_start = step1.num_atoms - lm.num_atoms
+    link_last = next(
+        (i for i in range(step1.num_atoms - 1, link_start - 1, -1) if step1.total_h(i) >= 1),
+        None,
+    )
+    if link_last is None:
         return step1
     out = _graft(step1, link_last, b, rng.choice(sites_b))
     return out if out is not None else step1

@@ -481,6 +481,10 @@ class Loader:
         if max_bytes is None:
             max_bytes = int(float(os.environ.get("MMT_DEVICE_DATASET_GB", "6")) * (1 << 30))
         if self._stochastic():
+            print(
+                "device_dataset: featurization is stochastic (per-epoch SMILES "
+                "randomization / blanking / noise); falling back to the host loader"
+            )
             return None
         cached = getattr(self, "_device_dataset", None)
         if cached is not None:

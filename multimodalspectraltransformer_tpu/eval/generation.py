@@ -85,33 +85,15 @@ def generate_candidates(
     dcfg: DecodeConfig = DecodeConfig(),
     target_mw: Optional[float] = None,
 ) -> CandidateSet:
-    """Temperature-escalation fan-out sampling for one molecule."""
-    out = CandidateSet()
-    seen: set = set()
-    temp = dcfg.temperature
-    for round_idx in range(dcfg.max_temp_rounds):
-        res = samplers.multinomial_decode(
-            params, mcfg, memory, memory_kpm,
-            jax.random.fold_in(rng, round_idx),
-            jnp.asarray(temp, jnp.float32),
-            dcfg.max_len,
-            fanout=dcfg.fanout,
-            compute_dtype=dcfg.compute_dtype,
-        )
-        _filter_block(
-            np.asarray(res.tokens),
-            np.asarray(res.token_probs),
-            target_mw if dcfg.mw_filter else None,
-            dcfg.mw_delta,
-            seen,
-            out,
-            dcfg.multinom_runs,
-        )
-        out.rounds_used = round_idx + 1
-        if len(out.smiles) >= dcfg.multinom_runs:
-            break
-        temp += dcfg.temp_increment
-    return out
+    """Temperature-escalation fan-out sampling for one molecule.
+
+    Thin wrapper over :func:`generate_candidates_batch` with B=1 so every
+    DecodeConfig knob (lookahead pipelining, beam_candidates augmentation)
+    behaves identically on both paths."""
+    return generate_candidates_batch(
+        params, mcfg, memory, memory_kpm, rng, dcfg,
+        target_mws=None if target_mw is None else [target_mw],
+    )[0]
 
 
 def generate_candidates_batch(

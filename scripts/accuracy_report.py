@@ -49,7 +49,8 @@ def parse_args():
                         "(beyond the reference's multinomial-only protocol)")
     p.add_argument("--out", default="runs/accuracy_r02")
     p.add_argument("--tag", default="r02")
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True,
+                   help="bf16 decode (default); --no-bf16 for an fp32 run")
     p.add_argument("--small", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (re-aggregation from cached chunks)")
@@ -79,16 +80,33 @@ def main() -> int:
 
     # ---- held-out corpus, disjoint from the training corpus -------------
     heldout_path = os.path.join(args.out, "heldout_smiles.json")
+    heldout_key = {
+        "train_n": args.train_n, "train_seed": args.train_seed,
+        "heldout_seed": args.heldout_seed, "n": args.n,
+    }
     if os.path.exists(heldout_path):
         with open(heldout_path) as f:
-            heldout = json.load(f)
+            cached = json.load(f)
+        if isinstance(cached, list):
+            # legacy format (bare list): trusted as a deliberately pinned
+            # held-out set — but it cannot be validated against the flags
+            print(f"[acc] using pinned held-out list {heldout_path} (legacy format, unvalidated)")
+            heldout = cached[: args.n]
+        else:
+            mismatch = {k: (v, cached.get(k)) for k, v in heldout_key.items() if cached.get(k) != v}
+            if mismatch:
+                raise SystemExit(
+                    f"[acc] {heldout_path} was built with different corpus flags: {mismatch}; "
+                    "delete it or point --out at a fresh directory"
+                )
+            heldout = cached["smiles"][: args.n]
     else:
         t0 = time.time()
         train_set = set(molrandom.random_corpus(args.train_n, seed=args.train_seed))
         pool = molrandom.random_corpus(args.n * 2, seed=args.heldout_seed)
         heldout = [s for s in pool if s not in train_set][: args.n]
         with open(heldout_path, "w") as f:
-            json.dump(heldout, f)
+            json.dump({**heldout_key, "smiles": heldout}, f)
         print(
             f"[acc] held-out corpus: {len(heldout)} molecules "
             f"({len(pool) - len(heldout)} overlaps/surplus dropped) in {time.time()-t0:.0f}s",
@@ -138,8 +156,14 @@ def main() -> int:
     t_all = time.time()
     for ci, chunk in enumerate(chunks):
         path = os.path.join(args.out, f"chunk_{ci:04d}.json")
+        # keyed on the molecules, the checkpoint AND the decode config — a
+        # re-run with different sweep settings must not reuse stale chunks
+        decode_key = (
+            f"f{args.fanout}.m{args.multinom_runs}.r{args.rounds}"
+            f".l{args.max_len}.b{int(args.bf16)}"
+        )
         digest = hashlib.sha256(
-            ("|".join(r.smiles for r in chunk) + "#" + params_hash).encode()
+            ("|".join(r.smiles for r in chunk) + "#" + params_hash + "#" + decode_key).encode()
         ).hexdigest()[:16]
         if os.path.exists(path):
             with open(path) as f:
@@ -189,7 +213,6 @@ def main() -> int:
             json.dump(payload, f)
         mols.extend(payload["molecules"])
         topk_results.append((top_k_hits, topk_n))
-        done = sum(len(c["molecules"]) if isinstance(c, dict) else 0 for c in [payload])
         print(
             f"[acc] chunk {ci+1}/{len(chunks)}: {len(results)} mols {payload['wall_s']:.0f}s | "
             f"greedy {summary.greedy_exact:.3f} mns {summary.mns_exact:.3f} "

@@ -31,8 +31,8 @@ def main() -> int:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--bf16", action="store_true",
                    help="the run used mixed precision (template must match)")
-    p.add_argument("--cpu", action="store_true", default=True,
-                   help="averaging is host work; keep it off the chip")
+    p.add_argument("--cpu", action=argparse.BooleanOptionalAction, default=True,
+                   help="averaging is host work; keep it off the chip (--no-cpu to allow the TPU backend)")
     args = p.parse_args()
 
     if args.cpu:

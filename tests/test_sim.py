@@ -272,6 +272,35 @@ def test_molrandom_corpus():
     assert molrandom.random_corpus(5, seed=3) == corpus[:5]
 
 
+def test_molrandom_carbonyl_linkers_join_two_rings():
+    """Linkers ending in =O (acyl/amide/sulfonyl) must attach ring B
+    through the carbonyl C / sulfonyl S, not bail on the H-free oxygen."""
+    import random
+
+    from multimodalspectraltransformer_tpu.data import molrandom
+
+    for link in ["C(=O)", "NC(=O)", "S(=O)(=O)"]:
+        rng = random.Random(7)
+        a = molrandom._template("c1ccccc1")
+        b = molrandom._template("c1ccncc1")
+        lm = molrandom._template(link)
+        sites_a = molrandom._attach_sites(a, rng)
+        step1 = molrandom._graft(a, sites_a[0], lm, 0)
+        assert step1 is not None
+        link_start = step1.num_atoms - lm.num_atoms
+        link_last = next(
+            (i for i in range(step1.num_atoms - 1, link_start - 1, -1)
+             if step1.total_h(i) >= 1),
+            None,
+        )
+        assert link_last is not None, link
+        sites_b = molrandom._attach_sites(b, rng)
+        out = molrandom._graft(step1, link_last, b, sites_b[0])
+        assert out is not None, link
+        # both ring systems present in the joined graph
+        assert out.num_atoms == a.num_atoms + lm.num_atoms + b.num_atoms, link
+
+
 def test_ir_rules_bands():
     from multimodalspectraltransformer_tpu.sim import ir_rules
 
