@@ -23,6 +23,31 @@ import time
 
 import jax
 
+
+def _fail_fast_if_tunnel_down() -> None:
+    """The axon TPU backend rides a loopback relay (127.0.0.1:8083). When
+    the relay is down, jax.devices() hangs or errors minutes later deep in
+    a compile call; probe the socket up front so a driver run during an
+    outage records a clear one-line reason instead of a timeout."""
+    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
+        return
+    import socket
+
+    for attempt in range(10):  # relay outages usually heal in minutes
+        s = socket.socket()
+        s.settimeout(5)
+        try:
+            s.connect(("127.0.0.1", 8083))
+            return
+        except OSError:
+            time.sleep(30)
+        finally:
+            s.close()
+    raise SystemExit("bench: TPU tunnel relay (127.0.0.1:8083) unreachable for 5 min; aborting")
+
+
+_fail_fast_if_tunnel_down()
+
 # persistent compilation cache: the driver re-runs this cold every round;
 # cached executables cut the cold start from minutes to seconds
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache_tpu"))
