@@ -258,6 +258,20 @@ def evaluate_molecules(
     seq_probs = np.asarray(tf_pending)  # corr_sampling_prob
     greedy = vocab.batch_ids_to_smiles(np.asarray(greedy_pending.tokens))
     mark("mns_sampling")
+    if all_cands is not None and dcfg.greedy_in_pool:
+        # reference sampling_method="mix": the greedy hypothesis joins the
+        # candidate pool, through the same canonicalize/dedup/MW gates
+        for i, can in enumerate(chem.batch_canonicalize(greedy)):
+            cs = all_cands[i]
+            if can is None or can in cs.smiles:
+                continue
+            if dcfg.mw_filter:
+                mw = chem.mol_wt(can)
+                tmw = float(feats[i]["mw"])
+                if mw is None or abs(round(mw) - round(tmw)) > dcfg.mw_delta:
+                    continue
+            cs.smiles.append(can)
+            cs.seq_probs.append(0.0)  # rank by CLIP/spectral error, not sampling prob
     if kept_extras is not None:
         if all_cands is None:
             all_cands = [generation.CandidateSet() for _ in feats]

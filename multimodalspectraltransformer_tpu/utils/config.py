@@ -295,6 +295,11 @@ class DecodeConfig:
     # (beyond the reference's multinomial-only protocol — default off so the
     # MNS numbers stay comparable; one extra beam decode per batch when on)
     beam_candidates: int = 0
+    # also merge the greedy hypothesis into the candidate pool — the
+    # reference's sampling_method="mix" (models_MMT_v15_4.py:1222-1297
+    # samples greedy AND multinomial inside training); default off so the
+    # MNS numbers stay comparable to its multinomial-only sweep protocol
+    greedy_in_pool: bool = False
     # decoder compute dtype for generation ("bfloat16" halves the dominant
     # HBM streams; token selection math stays fp32). None = memory dtype.
     compute_dtype: Optional[str] = None

@@ -47,6 +47,9 @@ def parse_args():
     p.add_argument("--beam", type=int, default=0,
                    help="also pool the top-K beam hypotheses per molecule "
                         "(beyond the reference's multinomial-only protocol)")
+    p.add_argument("--mix", action="store_true",
+                   help="also pool the greedy hypothesis per molecule "
+                        "(the reference's sampling_method='mix')")
     p.add_argument("--out", default="runs/accuracy_r02")
     p.add_argument("--tag", default="r02")
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True,
@@ -122,7 +125,7 @@ def main() -> int:
         max_len=args.max_len, fanout=args.fanout,
         multinom_runs=args.multinom_runs, max_temp_rounds=args.rounds,
         mw_filter=True, compute_dtype="bfloat16" if args.bf16 else None,
-        beam_candidates=args.beam,
+        beam_candidates=args.beam, greedy_in_pool=args.mix,
     )
 
     t0 = time.time()
@@ -160,7 +163,7 @@ def main() -> int:
         # re-run with different sweep settings must not reuse stale chunks
         decode_key = (
             f"f{args.fanout}.m{args.multinom_runs}.r{args.rounds}"
-            f".l{args.max_len}.b{int(args.bf16)}"
+            f".l{args.max_len}.b{int(args.bf16)}.x{int(args.mix)}"
         )
         digest = hashlib.sha256(
             ("|".join(r.smiles for r in chunk) + "#" + params_hash + "#" + decode_key).encode()
@@ -272,6 +275,7 @@ def main() -> int:
         "fanout": args.fanout,
         "multinom_runs": args.multinom_runs,
         "beam_candidates": args.beam,
+        "greedy_in_pool": args.mix,
         "heldout_seed": args.heldout_seed,
         "reference": {
             "zinc_0_250_mns_exact": 0.911,

@@ -94,6 +94,26 @@ def test_beam_candidates_augment_pool():
         assert beam_cans <= set(cs.smiles)
 
 
+def test_greedy_in_pool_merges_greedy_hypothesis():
+    """DecodeConfig.greedy_in_pool (the reference's sampling_method='mix')
+    merges the greedy decode into each molecule's candidate pool through
+    the same canonicalize/dedup gates."""
+    from multimodalspectraltransformer_tpu.chem import api as chem
+
+    params, recs = _trained_params()
+    dcfg = DecodeConfig(max_len=32, fanout=4, multinom_runs=2, max_temp_rounds=2,
+                        mw_filter=False, greedy_in_pool=True, lookahead=False)
+    results, _ = harness.evaluate_molecules(
+        recs[:3], params, MCFG, dcfg, rng=jax.random.PRNGKey(3)
+    )
+    for r in results:
+        smis = [c.smiles for c in r.candidates]
+        assert len(set(smis)) == len(smis)
+        g = chem.canonicalize(r.greedy)
+        if g is not None:
+            assert g in smis, (r.greedy, smis)
+
+
 def test_mw_filter_rejects_wrong_mass():
     params, recs = _trained_params()
     model = mmt.MultimodalTransformer(MCFG)
