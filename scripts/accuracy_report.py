@@ -50,6 +50,10 @@ def parse_args():
     p.add_argument("--mix", action="store_true",
                    help="also pool the greedy hypothesis per molecule "
                         "(the reference's sampling_method='mix')")
+    p.add_argument("--mw-band", default="",
+                   help="restrict the held-out corpus to one MW band 'lo,hi' "
+                        "(mirrors the reference's per-band n=1000 sweeps, e.g. "
+                        "'250,350'); applies at held-out generation time")
     p.add_argument("--out", default="runs/accuracy_r02")
     p.add_argument("--tag", default="r02")
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True,
@@ -86,6 +90,7 @@ def main() -> int:
     heldout_key = {
         "train_n": args.train_n, "train_seed": args.train_seed,
         "heldout_seed": args.heldout_seed, "n": args.n,
+        "mw_band": args.mw_band,
     }
     if os.path.exists(heldout_path):
         with open(heldout_path) as f:
@@ -106,7 +111,13 @@ def main() -> int:
     else:
         t0 = time.time()
         train_set = set(molrandom.random_corpus(args.train_n, seed=args.train_seed))
-        pool = molrandom.random_corpus(args.n * 2, seed=args.heldout_seed)
+        if args.mw_band:
+            lo, hi = (float(x) for x in args.mw_band.split(","))
+            # heavier bands have a lower yield per draw: oversample harder
+            pool = molrandom.random_corpus(args.n * 2, seed=args.heldout_seed,
+                                           min_mw=lo, max_mw=hi)
+        else:
+            pool = molrandom.random_corpus(args.n * 2, seed=args.heldout_seed)
         heldout = [s for s in pool if s not in train_set][: args.n]
         with open(heldout_path, "w") as f:
             json.dump({**heldout_key, "smiles": heldout}, f)
