@@ -187,8 +187,12 @@ def run_training(
     step_count = int(state.step)
     done = False
 
+    # a restored run continues the epoch sequence instead of replaying
+    # epoch 0's exact batch order (ordering is keyed on the epoch index)
+    start_epoch = step_count // max(1, len(train_loader)) if step_count else 0
+
     try:
-        for epoch in range(cfg.train.num_epochs):
+        for epoch in range(start_epoch, cfg.train.num_epochs):
             if done:
                 break
             if dd is not None:
