@@ -196,6 +196,7 @@ def cmd_evaluate(args) -> int:
         max_len=args.max_len, fanout=args.fanout,
         multinom_runs=args.multinom_runs, max_temp_rounds=args.rounds,
         mw_filter=not args.no_mw_filter,
+        beam_candidates=args.beam_candidates, greedy_in_pool=args.mix,
     )
     results, summary = evaluate_molecules(
         records, params, mcfg, dcfg, jax.random.PRNGKey(args.seed),
@@ -390,6 +391,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rounds", type=int, default=20)
     sp.add_argument("--no-mw-filter", action="store_true")
     sp.add_argument("--no-sim-errors", action="store_true")
+    sp.add_argument("--beam-candidates", type=int, default=0,
+                    help="also pool the top-K beam hypotheses per molecule")
+    sp.add_argument("--mix", action="store_true",
+                    help="also pool the greedy hypothesis (reference sampling_method='mix')")
     sp.add_argument("--results-out", default="")
     sp.set_defaults(fn=cmd_evaluate)
 
