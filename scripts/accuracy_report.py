@@ -343,7 +343,11 @@ def main() -> int:
         "drug-like molecules). Both measure the same thing: can the model invert",
         "its own simulator's spectra back to the structure.",
     ]
-    with open(os.path.join(REPO, "ACCURACY.md"), "w") as f:
+    # only the headline tag owns the top-level ACCURACY.md; variant passes
+    # (banded, --mix protocol, probes) write ACCURACY_<tag>.md instead of
+    # clobbering the headline report
+    md_name = "ACCURACY.md" if args.tag == "r02" else f"ACCURACY_{args.tag}.md"
+    with open(os.path.join(REPO, md_name), "w") as f:
         f.write("\n".join(md) + "\n")
     print(json.dumps(report, indent=1))
     return 0
