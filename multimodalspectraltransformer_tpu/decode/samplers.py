@@ -35,6 +35,7 @@ from .functional import (
     init_beam_cache,
     init_cache,
     precompute_cross_kv,
+    real_data_blend,
 )
 
 Array = jax.Array
@@ -66,8 +67,15 @@ def _loop_decode(
     early_exit: bool = True,
     group_size: int = 1,
     fused_self_attention: bool = False,
+    blend: Optional[Array] = None,  # [B*lanes, V] use_real_data logit blend
 ) -> DecodeResult:
     """Shared while-loop skeleton for greedy/multinomial."""
+    # the KV cache and pe_trg are sized cfg.max_len; decoding past that
+    # would silently clamp dynamic_update_slice onto the last cache column
+    assert max_len <= cfg.max_len, (
+        f"decode max_len={max_len} exceeds the model's cache/positional size "
+        f"cfg.max_len={cfg.max_len}"
+    )
 
     class S(NamedTuple):
         t: Array
@@ -94,7 +102,8 @@ def _loop_decode(
     def body(s: S):
         logits, cache = decoder_step(params, cfg, s.cache, s.last, s.t, cross,
                                      group_size=group_size,
-                                     fused_self_attention=fused_self_attention)
+                                     fused_self_attention=fused_self_attention,
+                                     blend=blend)
         nxt, prob = select_fn(logits.astype(jnp.float32), s.t)
         nxt = jnp.where(s.finished, vocab.PAD_ID, nxt).astype(jnp.int32)
         prob = jnp.where(s.finished, 0.0, prob)
@@ -141,6 +150,7 @@ def greedy_decode(
         params = _cast_decode_params(params, compute_dtype)
         memory = memory.astype(compute_dtype)
     cross = precompute_cross_kv(params, cfg, memory, memory_kpm)
+    blend = real_data_blend(params, memory) if cfg.use_real_data else None
 
     def select(logits, t):
         probs = jax.nn.softmax(logits / temperature, axis=-1)
@@ -148,7 +158,8 @@ def greedy_decode(
         return nxt, jnp.take_along_axis(probs, nxt[:, None], axis=-1)[:, 0]
 
     return _loop_decode(params, cfg, cross, memory.shape[0], select, max_len, memory.dtype,
-                        early_exit, fused_self_attention=_default_fused(fused_attention))
+                        early_exit, fused_self_attention=_default_fused(fused_attention),
+                        blend=blend)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "fanout", "early_exit", "compute_dtype", "fused_attention"))
@@ -175,6 +186,10 @@ def multinomial_decode(
         memory = memory.astype(compute_dtype)
     cross = precompute_cross_kv(params, cfg, memory, memory_kpm)
     batch = memory.shape[0] * fanout
+    blend = None
+    if cfg.use_real_data:
+        # lanes are sample-major ([B, fanout] flattened) — repeat per lane
+        blend = jnp.repeat(real_data_blend(params, memory), fanout, axis=0)
 
     def select(logits, t):
         step_rng = jax.random.fold_in(rng, t)
@@ -185,7 +200,8 @@ def multinomial_decode(
 
     return _loop_decode(params, cfg, cross, batch, select, max_len, memory.dtype,
                         early_exit, group_size=fanout,
-                        fused_self_attention=_default_fused(fused_attention))
+                        fused_self_attention=_default_fused(fused_attention),
+                        blend=blend)
 
 
 class BeamResult(NamedTuple):
@@ -220,6 +236,7 @@ def beam_search_materialized(
     if compute_dtype is not None:
         params = _cast_decode_params(params, compute_dtype)
         memory = memory.astype(compute_dtype)
+    assert max_len <= cfg.max_len, (max_len, cfg.max_len)
     B, S, D = memory.shape
     K = beam_size
     V = cfg.smiles_vocab_size
@@ -250,10 +267,16 @@ def beam_search_materialized(
     def cond(s: S):
         return (s.t < max_len) & ~s.all_done
 
+    blend = None
+    if cfg.use_real_data:
+        blend = jnp.repeat(real_data_blend(params, memory), K, axis=0).astype(jnp.float32)
+
     def body(s: S):
         logits, cache = decoder_step(params, cfg, s.cache, s.last, s.t, cross,
                                      group_size=K)
         logits = logits.astype(jnp.float32)
+        if blend is not None:
+            logits = (logits + blend) / 2  # use_real_data (mmt.decode parity)
         logp = jax.nn.log_softmax(logits / temperature, axis=-1).reshape(B, K, V)
         # finished beams: only a <PAD> continuation, at zero cost
         pad_only = jnp.full((V,), NEG, logp.dtype).at[vocab.PAD_ID].set(0.0)
@@ -316,6 +339,7 @@ def beam_search(
     if compute_dtype is not None:
         params = _cast_decode_params(params, compute_dtype)
         memory = memory.astype(compute_dtype)
+    assert max_len <= cfg.max_len, (max_len, cfg.max_len)
     B, S, D = memory.shape
     K = beam_size
     V = cfg.smiles_vocab_size
@@ -356,12 +380,18 @@ def beam_search(
     # larger-beam regimes via beam_decoder_step(use_pallas=True).
     use_pallas = False
 
+    blend = None
+    if cfg.use_real_data:
+        blend = jnp.repeat(real_data_blend(params, memory), K, axis=0).astype(jnp.float32)
+
     def body(s: S2):
         logits, cache = beam_decoder_step(
             params, cfg, s.cache, s.last, s.t, cross, s.ancestry, K,
             use_pallas=use_pallas,
         )
         logits = logits.astype(jnp.float32)
+        if blend is not None:
+            logits = (logits + blend) / 2  # use_real_data (mmt.decode parity)
         logp = jax.nn.log_softmax(logits / temperature, axis=-1).reshape(B, K, V)
         pad_only = jnp.full((V,), NEG, logp.dtype).at[vocab.PAD_ID].set(0.0)
         logp = jnp.where(s.finished[:, :, None], pad_only[None, None, :], logp)

@@ -68,8 +68,11 @@ class MoleculeResult:
 
     @property
     def mns_exact(self) -> bool:
-        """'MNS top-rank exact': best-tanimoto candidate is the target
-        (the headline metric of BASELINE.md)."""
+        """'MNS exact recovery': the target structure appears in the sampled
+        candidate pool (the headline metric of BASELINE.md). Equivalent to
+        the reference's tanimoto-sorted top-rank == 1.0 criterion whenever
+        fingerprints compute (an exact match has tanimoto exactly 1.0 and
+        sorts first); set membership is the robust formulation."""
         return any(c.exact for c in self.candidates)
 
 
@@ -106,6 +109,7 @@ def _teacher_forced_probs(model, params, trg_tokens, memory, kpm):
     return seq_prob
 
 
+@partial(jax.jit, static_argnames=("model",))
 def teacher_forced_analysis(model, params, trg_tokens, memory, kpm) -> dict:
     """Full per-token probability analysis (reference
     `predict_prop_correct_max_sequence[_2/_3]`,
@@ -160,8 +164,9 @@ def evaluate_molecules(
     bit-identical to the single-device run (asserted by
     ``__graft_entry__.dryrun_multichip`` and tests/test_multislice.py).
 
-    ``extra_candidates[i]`` — externally supplied candidate SMILES for the
-    i-th (featurizable) record, merged into its sampled candidate set before
+    ``extra_candidates[i]`` — externally supplied candidate SMILES for
+    ``records[i]`` (the ORIGINAL position, so the mapping survives records
+    that fail featurization), merged into its sampled candidate set before
     CLIP scoring / spectral simulation / ranking. This is the reference's
     rank-from-results-file analysis (`experiment_function_v15_4.py:725-837`
     re-ranks candidates produced by an earlier generation run) as a harness
@@ -257,11 +262,12 @@ def evaluate_molecules(
 
     seq_probs = np.asarray(tf_pending)  # corr_sampling_prob
     greedy = vocab.batch_ids_to_smiles(np.asarray(greedy_pending.tokens))
+    greedy_cans = chem.batch_canonicalize(greedy)  # shared with the assembly loop
     mark("mns_sampling")
     if all_cands is not None and dcfg.greedy_in_pool:
         # reference sampling_method="mix": the greedy hypothesis joins the
         # candidate pool, through the same canonicalize/dedup/MW gates
-        for i, can in enumerate(chem.batch_canonicalize(greedy)):
+        for i, can in enumerate(greedy_cans):
             cs = all_cands[i]
             if can is None or can in cs.smiles:
                 continue
@@ -392,7 +398,6 @@ def evaluate_molecules(
     # batch_morgan_fp pass — instead of per-candidate canonicalize/fp calls
     # that re-derive the target fingerprint every time.
     target_cans = chem.batch_canonicalize([f["smiles"] for f in feats])
-    greedy_cans = chem.batch_canonicalize(greedy)
     cand_smis: list[str] = []
     if all_cands is not None:
         for cs in all_cands:
@@ -514,7 +519,12 @@ def top_k_hits(results: Sequence[MoleculeResult], ks=(1, 3, 5, 10, 20), mf_filte
     n = 0
     for res in results:
         ranked = rank_candidates_by_error(res, mf_filter)
-        if not ranked and not res.candidates:
+        if not ranked:
+            # molecules whose whole pool was MF-filtered out (or that had
+            # no candidates) are excluded from the denominator — the
+            # reference drops empty keys before dividing
+            # (filter_rankings_by_molecular_formula,
+            # experiment_function_v15_4.py:857-858)
             continue
         n += 1
         for k in ks:

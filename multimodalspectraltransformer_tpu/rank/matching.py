@@ -104,18 +104,21 @@ def _nn_expand(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     leftovers against the whole shorter set (reference
     euclidean_distance_nn runs exactly one euclidean_distance_uneven pass).
     NOTE: when ||N - M|| > min(N, M) some leftovers stay unmatched — total
-    pairs = min(N,M) + min(min(N,M), |N-M|), NOT max(N, M); the avg error
-    still divides by max(N, M). This mirrors the reference's behavior."""
+    pairs = min(N,M) + min(min(N,M), |N-M|), NOT max(N, M). The avg error
+    divides by this aligned-pair count (the reference divides by the
+    post-alignment list length, similarity_functions_v15_4.py:572-578)."""
     ia, ib = _greedy_pairs(a, b)
     pa, pb = list(a[ia]), list(b[ib])
     if len(a) < len(b):
-        leftover = np.asarray([j for j in range(len(b)) if j not in set(ib.tolist())], int)
+        used = set(ib.tolist())
+        leftover = np.asarray([j for j in range(len(b)) if j not in used], int)
         if leftover.size:
             ia2, ib2 = _greedy_pairs(a, b[leftover])
             pa.extend(a[ia2])
             pb.extend(b[leftover][ib2])
     elif len(a) > len(b):
-        leftover = np.asarray([i for i in range(len(a)) if i not in set(ia.tolist())], int)
+        used = set(ia.tolist())
+        leftover = np.asarray([i for i in range(len(a)) if i not in used], int)
         if leftover.size:
             ia2, ib2 = _greedy_pairs(a[leftover], b)
             pa.extend(a[leftover][ia2])
@@ -131,9 +134,11 @@ def _hungarian(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _filter_zero_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Drop pairs where either point is (0,0) padding (reference
-    filter_out_zeros)."""
-    keep = ~(np.all(np.isclose(a, 0.0), axis=1) | np.all(np.isclose(b, 0.0), axis=1))
+    """Drop pairs where either point is (0,0) padding. The reference's
+    filter_out_zeros (similarity_functions_v15_4.py:754-778) treats any
+    point with |x|+|y| < 0.001 as padding — same threshold here, so a real
+    peak that normalizes into that ball is (deliberately) dropped too."""
+    keep = ~((np.abs(a).sum(axis=1) < 1e-3) | (np.abs(b).sum(axis=1) < 1e-3))
     return a[keep], b[keep]
 
 
@@ -192,7 +197,6 @@ def spectral_error(
     b = np.asarray(peaks_sim, float).reshape(-1, 2)
     if not normalized:
         a, b = normalize_peaks(a), normalize_peaks(b)
-    la, lb = len(a), len(b)
     pa, pb = align(a, b, mode)
     if len(pa) == 0:
         return float("nan")
@@ -200,9 +204,13 @@ def spectral_error(
     total = float(dists.sum())
     if error == "sum":
         return total
-    if "trunc" in mode:
-        return total / min(la, lb)
-    return total / max(la, lb)
+    # The reference's avg divides by the POST-alignment list length
+    # (similarity_functions_v15_4.py:572-578: max(len) for zero/nn modes,
+    # min(len) for trunc — but after alignment both lists are the same
+    # length, so every branch reduces to the aligned-pair count). For zero
+    # modes that equals max(la, lb); for trunc, min(la, lb); for nn,
+    # min + min(min, |la - lb|).
+    return total / len(pa)
 
 
 def all_mode_errors(

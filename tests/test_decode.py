@@ -93,6 +93,59 @@ def test_cached_greedy_matches_full_prefix():
     np.testing.assert_allclose(np.asarray(res.token_probs), ref_p, atol=1e-5)
 
 
+def test_cached_decode_applies_use_real_data_blend():
+    """With cfg.use_real_data=True the cached samplers must apply the
+    real_data_linear logit blend exactly like the teacher-forced decode
+    (mmt.py decode method); a missing blend silently evaluates a different
+    model than the one trained (reference `models_MMT_v15_4.py:965-971`)."""
+    import dataclasses
+
+    cfg_rd = dataclasses.replace(CFG, use_real_data=True)
+    batch = 3
+    model = mmt.MultimodalTransformer(cfg_rd)
+    rng = jax.random.PRNGKey(7)
+    batch_in = mmt.dummy_batch(cfg_rd, batch)
+    batch_in = batch_in._replace(
+        src_1h=jax.random.uniform(rng, batch_in.src_1h.shape),
+        mw=jnp.linspace(100.0, 300.0, batch),
+    )
+    variables = jax.jit(lambda r, b, t: model.init(r, b, t, True))(
+        {"params": jax.random.PRNGKey(43)}, batch_in, jnp.zeros((batch, 4), jnp.int32)
+    )
+    enc = jax.jit(lambda v, b: model.apply(v, b, None, True))(variables, batch_in)
+    max_len = 12
+    ref_t, ref_p = _full_prefix_greedy(model, variables, enc, max_len)
+    res = samplers.greedy_decode(
+        variables["params"], cfg_rd, enc.memory, enc.memory_key_padding_mask, 1.0, max_len
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), ref_t)
+    np.testing.assert_allclose(np.asarray(res.token_probs), ref_p, atol=1e-5)
+    # beam top-1 under the blend must equal the blended greedy sequence
+    beam = samplers.beam_search(
+        variables["params"], cfg_rd, enc.memory, enc.memory_key_padding_mask,
+        beam_size=3, max_len=max_len,
+    )
+    # (greedy == beam top-1 is not guaranteed in general, but with a tiny
+    # random model the argmax path dominates; assert beam used the blend by
+    # comparing against the materialized variant instead)
+    beam2 = samplers.beam_search_materialized(
+        variables["params"], cfg_rd, enc.memory, enc.memory_key_padding_mask,
+        beam_size=3, max_len=max_len,
+    )
+    np.testing.assert_array_equal(np.asarray(beam.tokens), np.asarray(beam2.tokens))
+    np.testing.assert_allclose(np.asarray(beam.scores), np.asarray(beam2.scores), atol=1e-4)
+    # and the blend actually changes the distributions vs the unblended cfg
+    res_plain = samplers.greedy_decode(
+        variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, 1.0, max_len
+    )
+    assert not np.allclose(np.asarray(res.token_probs), np.asarray(res_plain.token_probs))
+    beam_plain = samplers.beam_search(
+        variables["params"], CFG, enc.memory, enc.memory_key_padding_mask,
+        beam_size=3, max_len=max_len,
+    )
+    assert not np.allclose(np.asarray(beam.scores), np.asarray(beam_plain.scores))
+
+
 def test_greedy_temperature_changes_probs_not_argmax():
     model, variables, enc = _setup()
     r1 = samplers.greedy_decode(variables["params"], CFG, enc.memory, enc.memory_key_padding_mask, 1.0, 16)

@@ -60,6 +60,21 @@ def test_avg_divisor_reference_semantics():
     assert avg_t == pytest.approx(s_t / 5)  # min(len) for trunc
 
 
+def test_avg_divisor_nn_skewed_sizes():
+    """When |N - M| > min(N, M) the NN expansion aligns only
+    min + min(min, |N-M|) pairs; the reference divides its avg by that
+    post-alignment length, NOT max(N, M)
+    (similarity_functions_v15_4.py:572-578)."""
+    a = _peaks(10, 2)
+    b = _peaks(2, 3)
+    na, nb = matching.normalize_peaks(a), matching.normalize_peaks(b)
+    pa, pb = matching.align(na, nb, "hung_dist_nn")
+    assert len(pa) == 4  # 2 first-round + min(2, 8) leftover pairs
+    s = matching.spectral_error(a, b, "hung_dist_nn", error="sum")
+    avg = matching.spectral_error(a, b, "hung_dist_nn", error="avg")
+    assert avg == pytest.approx(s / 4)
+
+
 def test_all_mode_errors_shape_and_order():
     errs = matching.all_mode_errors(_peaks(7, 8), _peaks(7, 9))
     assert errs.shape == (9,)
