@@ -73,8 +73,19 @@ def load_spectra_csvs(
 ) -> list[SampleRecord]:
     """Load reference-format CSVs into joined per-sample records
     (reference `_load_sgnn_data`, `dataloaders_pl_v15_4.py:210-264`)."""
+    def _stat(p: str):
+        try:
+            st = os.stat(p)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    # keyed on paths AND file mtimes/sizes: the factory always exports to
+    # fixed names (data_1H_0.csv ...), so a regenerated corpus in the same
+    # out_dir must invalidate the cache
     cache_key = {"1h": csv_1h, "13c": csv_13c, "hsqc": csv_hsqc,
-                 "cosy": csv_cosy, "ir": ir_folder, "limit": limit}
+                 "cosy": csv_cosy, "ir": ir_folder, "limit": limit,
+                 "stat": [_stat(p) for p in (csv_1h, csv_13c, csv_hsqc, csv_cosy) if p]}
     if pickle_cache and os.path.exists(pickle_cache):
         with open(pickle_cache, "rb") as f:
             payload = pickle.load(f)
@@ -85,6 +96,7 @@ def load_spectra_csvs(
             if payload.get("key") == cache_key:
                 return payload["records"]
         elif isinstance(payload, list):
+            print(f"load_spectra_csvs: using legacy (unkeyed) pickle cache {pickle_cache}")
             return payload
 
     import pandas as pd
@@ -384,6 +396,17 @@ class Loader:
             or self.opts.hsqc_noise_max > 0
         )
 
+    def _host_slice(self, order):
+        """This host's share of an epoch order, TRUNCATED to the common
+        per-host length: a bare ``order[h::H]`` gives hosts unequal element
+        counts when len(order) % host_count != 0, and in multi-host
+        lockstep the longer host would dispatch a collective step the
+        others never join (hang)."""
+        if self.host_count <= 1:
+            return order
+        per_host = len(order) // self.host_count
+        return order[self.host_id :: self.host_count][:per_host]
+
     def epoch(self, epoch: int) -> Iterator[TrainBatch]:
         from . import samplers
 
@@ -391,7 +414,7 @@ class Loader:
             self.order_strategy, [r.smiles for r in self.records],
             self.batch_size, self.seed, epoch,
         )
-        order = order[self.host_id :: self.host_count]
+        order = self._host_slice(order)
         rng = random.Random(self.seed * 1_000_003 + epoch * 1009 + self.host_id)
         use_cache = self.cache_features and not self._stochastic()
         buf: list[dict] = []
@@ -446,20 +469,22 @@ class Loader:
         return h.hexdigest()[:16]
 
     @staticmethod
-    def _save_features_npz(path: str, big: TrainBatch) -> None:
+    def _save_features_npz(path: str, big: TrainBatch, kept_idx: np.ndarray) -> None:
         arrays = {f"inputs_{k}": getattr(big.inputs, k) for k in MMTBatch._fields}
         arrays["trg_tokens"] = big.trg_tokens
         arrays["trg_fp"] = big.trg_fp
+        arrays["kept_idx"] = np.asarray(kept_idx, np.int64)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, **arrays)
         os.replace(tmp, path)
 
     @staticmethod
-    def _load_features_npz(path: str) -> TrainBatch:
+    def _load_features_npz(path: str) -> tuple[TrainBatch, Optional[np.ndarray]]:
         z = np.load(path)
         inputs = MMTBatch(**{k: z[f"inputs_{k}"] for k in MMTBatch._fields})
-        return TrainBatch(inputs, z["trg_tokens"], z["trg_fp"])
+        kept = z["kept_idx"] if "kept_idx" in z.files else None  # legacy: identity
+        return TrainBatch(inputs, z["trg_tokens"], z["trg_fp"]), kept
 
     def device_dataset(self, max_bytes: Optional[int] = None):
         """One TrainBatch holding every featurizable record, device_put.
@@ -499,7 +524,7 @@ class Loader:
                 cache_dir, f"mmt_features_{self.features_digest()}.npz"
             )
             if os.path.exists(cache_path):
-                big = self._load_features_npz(cache_path)
+                big, kept_idx = self._load_features_npz(cache_path)
                 print(f"device_dataset: loaded featurized cache {cache_path}")
         if big is None:
             # bulk chemistry through the threaded native kernel: canonicalize
@@ -514,6 +539,7 @@ class Loader:
             mws = chem.batch_exact_mol_wt(safe)
             fps, fp_ok = chem.batch_morgan_fp(safe, 2, self.mcfg.fingerprint_size)
             feats = []
+            kept_list: list[int] = []
             for i, r in enumerate(self.records):
                 pre = (
                     canons[i], mfs[i] if canons[i] is not None else None,
@@ -522,23 +548,28 @@ class Loader:
                 f = featurize(r, self.mcfg, self.opts, pre=pre)
                 if f is not None:
                     feats.append(f)
+                    kept_list.append(i)
             if not feats:
                 return None
             if len(feats) != len(self.records):
-                # batch compositions would silently diverge from the host path
-                # (epoch orders over all records, drops failures after
-                # batching); fall back to the host loader instead
+                # keep the HBM-resident path (falling back to the host
+                # loader costs ~8x steps/s on the tunneled backend): drop
+                # the failures up front and order epochs over the kept
+                # records. Batch compositions diverge slightly from the
+                # host path, which orders over ALL records and drops
+                # failures after batching.
                 import sys
 
                 print(
-                    f"device_dataset: {len(self.records) - len(feats)} records "
-                    "failed featurization; falling back to the host path",
+                    f"device_dataset: dropping {len(self.records) - len(feats)} "
+                    f"records that failed featurization (keeping the device "
+                    f"path with {len(feats)} records)",
                     file=sys.stderr,
                 )
-                return None
+            kept_idx = np.asarray(kept_list, np.int64)
             big = collate(feats)
             if cache_path is not None:
-                self._save_features_npz(cache_path, big)
+                self._save_features_npz(cache_path, big, kept_idx)
                 print(f"device_dataset: wrote featurized cache {cache_path}")
         nbytes = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(big))
         if nbytes > max_bytes:
@@ -551,9 +582,11 @@ class Loader:
                 file=sys.stderr,
             )
             return None
-        # every record featurized (both the freshly-built and the cache-hit
-        # path guarantee it), so the row<->record mapping is the identity
-        self._device_kept_smiles = [r.smiles for r in self.records]
+        # row i of the dataset is self.records[kept_idx[i]] (identity when
+        # every record featurized; legacy caches without kept_idx imply it)
+        if kept_idx is None:
+            kept_idx = np.arange(len(self.records), dtype=np.int64)
+        self._device_kept_smiles = [self.records[int(i)].smiles for i in kept_idx]
         self._device_dataset = jax.tree_util.tree_map(jnp.asarray, big)
         return self._device_dataset
 
@@ -569,7 +602,7 @@ class Loader:
         order = samplers.epoch_order(
             self.order_strategy, smiles, self.batch_size, self.seed, epoch
         )
-        order = order[self.host_id :: self.host_count]
+        order = self._host_slice(order)
         for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
             yield np.asarray(order[i : i + self.batch_size], np.int32)
         rem = len(order) % self.batch_size

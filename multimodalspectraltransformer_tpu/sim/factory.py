@@ -128,15 +128,19 @@ def default_ir_model():
     return _default_ir
 
 
-def _predict_chunked(params, model, mols, chunk: int = 256, max_nodes: int = 64):
+def _predict_chunked(params, model, mols, chunk: int = 256, max_nodes: int = 64,
+                     compacts=None):
     """Compact-featurize + on-device densify + chunked GNN apply; returns
-    list of per-mol raw (normalized) output tuples."""
+    list of per-mol raw (normalized) output tuples. Pass ``compacts`` (one
+    per mol, from featurize_compact) to skip re-featurizing — the factory
+    shares one featurization across the oversize filter and both GNNs."""
     import jax.numpy as jnp
 
     from .distill import densify_batch, featurize_compact
 
     outs = [None] * len(mols)
-    compacts = [featurize_compact(m, max_nodes) for m in mols]
+    if compacts is None:
+        compacts = [featurize_compact(m, max_nodes) for m in mols]
     idxs = [i for i, c in enumerate(compacts) if c is not None]
     for s in range(0, len(idxs), chunk):
         sel = idxs[s : s + chunk]
@@ -180,17 +184,19 @@ def simulate_records(
 
     from .distill import featurize_compact
 
-    mols, metas = [], []
+    mols, metas, compacts = [], [], []
     n_oversized = 0
     for idx, can in kept:
         mol = parse_smiles(can)
-        if featurize_compact(mol, max_nodes) is None:
+        compact = featurize_compact(mol, max_nodes)
+        if compact is None:
             # distinct from the MW/valence filters above: graph exceeds the
             # GNN featurization budget (>max_nodes atoms or >MAX_EDGES bonds)
             n_oversized += 1
             continue
         mols.append(mol)
         metas.append((sample_ids[idx], can))
+        compacts.append(compact)  # shared with both GNN passes below
     if n_oversized:
         import sys
 
@@ -207,7 +213,8 @@ def simulate_records(
         if d is not None:
             shift_params, shift_model, stats = d
     if shift_params is not None and shift_model is not None:
-        outs, _ = _predict_chunked(shift_params, shift_model, mols, max_nodes=max_nodes)
+        outs, _ = _predict_chunked(shift_params, shift_model, mols, max_nodes=max_nodes,
+                                   compacts=compacts)
         shifts = []
         for mol, o in zip(mols, outs):
             n = mol.num_atoms
@@ -227,7 +234,8 @@ def simulate_records(
             if d is not None:
                 ir_params, ir_model = d
         if ir_params is not None and ir_model is not None:
-            outs, _ = _predict_chunked(ir_params, ir_model, mols, max_nodes=max_nodes)
+            outs, _ = _predict_chunked(ir_params, ir_model, mols, max_nodes=max_nodes,
+                                       compacts=compacts)
             ir_specs = [o[0] for o in outs]
         else:
             from . import ir_rules

@@ -188,8 +188,16 @@ def run_training(
     done = False
 
     # a restored run continues the epoch sequence instead of replaying
-    # epoch 0's exact batch order (ordering is keyed on the epoch index)
+    # epoch 0's exact batch order. This is a shuffle-phase heuristic only
+    # (len() can under/over-estimate actual batches per epoch when records
+    # fail featurization or drop_remainder=False): every epoch index is a
+    # different permutation of the same corpus, so an off-by-some estimate
+    # shifts which permutations get used, never which data. Clamped so a
+    # resume can never skip past every epoch and silently train 0 steps.
     start_epoch = step_count // max(1, len(train_loader)) if step_count else 0
+    start_epoch = min(start_epoch, max(0, cfg.train.num_epochs - 1))
+    if max_steps and step_count >= max_steps:
+        done = True  # restored at/over budget: don't train a bonus step
 
     try:
         for epoch in range(start_epoch, cfg.train.num_epochs):
@@ -204,8 +212,10 @@ def run_training(
                 )
             else:
                 batch_iter = _prefetch(train_loader.epoch(epoch), put_batch)
+            last_m = None
             for b in batch_iter:
                 state, m = train_step(model, cfg, state, b, rng)
+                last_m = m
                 step_count += 1
                 if step_count % log_every == 0:
                     train_loss = float(m.loss)
@@ -228,7 +238,11 @@ def run_training(
                     done = True
                     break
 
-            # epoch-cadence LR plateau step (torch scheduler.step(loss))
+            # epoch-cadence LR plateau step (torch scheduler.step(loss)):
+            # materialize the CURRENT epoch-end loss (one device sync per
+            # epoch) instead of the up-to-log_every-stale logged value
+            if last_m is not None:
+                train_loss = float(last_m.loss)
             if np.isfinite(train_loss):
                 state = update_plateau(cfg.train, state, train_loss)
 
@@ -245,12 +259,12 @@ def run_training(
         # the reference's last-resort backup on any training exception
         # (`MT_functions_v15_4.py:138-158` saves last_backup_checkpoint.ckpt)
         if checkpoint_dir:
+            backup = os.path.join(checkpoint_dir, "last_backup_params.msgpack")
             try:
-                ckpt_mod.export_params_msgpack(
-                    state.params, os.path.join(checkpoint_dir, "last_backup_params.msgpack")
-                )
-            except Exception:
-                pass
+                ckpt_mod.export_params_msgpack(state.params, backup)
+                print(f"run_training: crash backup saved to {backup}")
+            except Exception as be:  # e.g. donated buffers from the failing step
+                print(f"run_training: crash backup FAILED ({be!r}) — no {backup}")
         raise
 
     if manager is not None:
@@ -282,8 +296,11 @@ def generation_metrics(model, cfg: MMTConfig, params, batch, step: int = 0) -> d
     (1 - tanimoto) and (1 - validity) terms — all of which the reference
     adds to the loss as Python floats, i.e. no gradient flows through them)."""
     from ..decode import samplers
+    from ..eval.harness import _encode_batch
 
-    enc = model.apply({"params": params}, batch.inputs, None, True)
+    # jitted: un-jitted full-model apply dispatches per-op through the TPU
+    # tunnel (~32 ms/op — minutes per call)
+    enc = _encode_batch(model, params, batch.inputs)
     res = samplers.greedy_decode(
         params, cfg.model, enc.memory, enc.memory_key_padding_mask, 1.0, cfg.model.spectrum_points
     )
@@ -339,14 +356,21 @@ def spectral_feedback_error(gen: list[str], batch, valid_mask) -> float:
     from ..sim import factory as sim_factory
 
     src_hsqc = np.asarray(batch.inputs.src_hsqc)  # [B, P, 2] normalized (H/10, C/200)
+    idxs = [i for i, (g, ok) in enumerate(zip(gen, valid_mask)) if ok]
+    if not idxs:
+        return float("nan")
+    # ONE batched factory call for every valid generation (a per-molecule
+    # loop pays a padded GNN forward each) — and no IR: only hsqc is read
+    recs = sim_factory.simulate_records(
+        [gen[i] for i in idxs], sample_ids=[str(i) for i in idxs], with_ir=False
+    )
+    by_id = {r.sample_id: r for r in recs}
     errors = []
-    for i, (g, ok) in enumerate(zip(gen, valid_mask)):
-        if not ok:
+    for i in idxs:
+        rec = by_id.get(str(i))
+        if rec is None or not rec.hsqc:
             continue
-        recs = sim_factory.simulate_records([g], sample_ids=[str(i)])
-        if not recs or not recs[0].hsqc:
-            continue
-        sim_peaks = np.asarray(recs[0].hsqc, dtype=np.float64)  # [(H, C)]
+        sim_peaks = np.asarray(rec.hsqc, dtype=np.float64)  # [(H, C)]
         live = ~(src_hsqc[i] == 0).all(axis=1)
         if not live.any():
             continue

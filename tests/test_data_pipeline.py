@@ -177,6 +177,47 @@ def test_device_dataset_matches_host_loader():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_device_dataset_keeps_device_path_on_failures():
+    """One unfeaturizable record must NOT push the whole run onto the ~8x
+    slower host loader: the failure is dropped and rows index the kept
+    records."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodalspectraltransformer_tpu.data.pipeline import gather_rows
+
+    records = list(dp.synthetic_dataset(12, seed=3))
+    records[5] = dataclasses.replace(records[5], smiles="not-a-smiles")
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+    loader = dp.Loader(records, mcfg, batch_size=4, seed=1)
+    dd = loader.device_dataset()
+    assert dd is not None
+    kept = loader._device_kept_smiles
+    assert len(kept) == 11 and "not-a-smiles" not in kept
+    # rows index the kept records: gather row j and featurize kept[j]
+    f = dp.featurize(
+        next(r for r in records if r.smiles == kept[7]), mcfg
+    )
+    row = gather_rows(dd, jnp.asarray([7]))
+    np.testing.assert_array_equal(
+        np.asarray(row.trg_tokens[0]), np.asarray(f["trg_tokens"])
+    )
+
+
+def test_host_slice_equal_batches_across_hosts():
+    """Per-host epoch slices are truncated to a common length so multi-host
+    lockstep never has one host dispatch an extra collective step."""
+    records = dp.synthetic_dataset(19, seed=4)
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
+    counts = []
+    for host in range(2):
+        loader = dp.Loader(records, mcfg, batch_size=4, seed=1,
+                           host_id=host, host_count=2)
+        counts.append(sum(1 for _ in loader.epoch(0)))
+    assert counts[0] == counts[1]
+
+
 def test_device_dataset_declined_when_stochastic():
     records = dp.synthetic_dataset(8, seed=3)
     mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64)
