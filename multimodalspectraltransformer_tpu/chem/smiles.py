@@ -52,6 +52,8 @@ class Bond:
     order: int  # 1, 2, 3
     aromatic: bool = False
     stereo: str = ""  # "/" or "\\" (recorded only)
+    # filled in by finalize():
+    in_ring: bool = False
 
     def other(self, i: int) -> int:
         return self.a2 if i == self.a1 else self.a1
@@ -237,10 +239,17 @@ def _mark_rings(mol: Mol) -> None:
                     in_ring_bond[pb] = True
                     vv = parent[vv]
     for bi, flag in enumerate(in_ring_bond):
+        b = mol.bonds[bi]
+        b.in_ring = flag
         if flag:
-            mol.bonds[bi].aromatic = mol.bonds[bi].aromatic  # no-op, clarity
-            mol.atoms[mol.bonds[bi].a1].in_ring = True
-            mol.atoms[mol.bonds[bi].a2].in_ring = True
+            mol.atoms[b.a1].in_ring = True
+            mol.atoms[b.a2].in_ring = True
+        elif b.aromatic:
+            # Daylight semantics: a bond between two aromatic atoms that
+            # lies in no ring is a SINGLE bond — an implicitly-written
+            # biaryl link (c1ccccc1c1ccccc1) must not read as aromatic
+            b.aromatic = False
+            b.order = 1
 
 
 _TWO_LETTER_ORGANIC = ("Cl", "Br")

@@ -149,6 +149,7 @@ struct Bond {
   int a1, a2;
   int order;  // 1,2,3
   bool aromatic = false;
+  bool in_ring = false;  // filled in by finalize/mark_rings
   int other(int i) const { return i == a1 ? a2 : a1; }
 };
 
@@ -270,14 +271,19 @@ static void mark_rings(Mol& mol) {
     }
   }
   for (size_t bi = 0; bi < mol.bonds.size(); ++bi) {
-    if (!is_bridge[bi]) {
-      mol.atoms[mol.bonds[bi].a1].in_ring = true;
-      mol.atoms[mol.bonds[bi].a2].in_ring = true;
+    Bond& b = mol.bonds[bi];
+    b.in_ring = !is_bridge[bi];
+    if (b.in_ring) {
+      mol.atoms[b.a1].in_ring = true;
+      mol.atoms[b.a2].in_ring = true;
+    } else if (b.aromatic) {
+      // Daylight semantics (mirror of chem/smiles.py:_mark_rings): a bond
+      // between two aromatic atoms outside any ring is a SINGLE bond — an
+      // implicitly-written biaryl link must not read as aromatic
+      b.aromatic = false;
+      b.order = 1;
     }
   }
-  // store ring flag per bond in `aromatic`? no — keep a side channel:
-  // callers only need atom in_ring; bond ring-ness is implied by !bridge,
-  // which we recompute where needed (nowhere else currently).
 }
 
 // finalize: implicit H assignment + valence checks (chem/smiles.py:149-179)

@@ -77,6 +77,43 @@ def _is_alkyne_c(mol: Mol, i: int) -> bool:
     )
 
 
+def _is_imine_c(mol: Mol, i: int) -> bool:
+    """Non-aromatic C double-bonded to N: imine / amidine / guanidine /
+    oxime / hydrazone carbons (all ~150-170 ppm, NOT sp3)."""
+    a = mol.atoms[i]
+    return (
+        a.symbol == "C"
+        and not a.aromatic
+        and any(
+            mol.bonds[b].order == 2
+            and not mol.bonds[b].aromatic
+            and mol.atoms[mol.bonds[b].other(i)].symbol == "N"
+            for b in mol.adjacency[i]
+        )
+    )
+
+
+def _imine_shifts(mol: Mol, i: int) -> tuple[float, float]:
+    """C=N carbon: aldimine/ketimine ~165 ppm; each single-bonded N/O
+    substituent (amidine, guanidine, carbamimidate) pulls toward ~155; an
+    O on the imine nitrogen (oxime) sits near ~150."""
+    n_single_het = 0
+    oxime = False
+    for j in mol.neighbors(i):
+        b = mol.bond_between(i, j)
+        if b is None:
+            continue
+        aj = mol.atoms[j]
+        if b.order == 1 and aj.symbol in ("N", "O"):
+            n_single_het += 1
+        if b.order == 2 and aj.symbol == "N":
+            if any(mol.atoms[k].symbol == "O" for k in mol.neighbors(j) if k != i):
+                oxime = True
+    c13 = 165.0 - 5.0 * min(n_single_het, 2) - (15.0 if oxime else 0.0)
+    h1 = 7.8 if mol.total_h(i) else 0.0
+    return c13, h1
+
+
 def _is_alkene_c(mol: Mol, i: int) -> bool:
     a = mol.atoms[i]
     return (
@@ -493,6 +530,10 @@ def predict_shifts(mol: Mol) -> AtomShifts:
 
     # per-aromatic-atom distance maps restricted to the aromatic system
     def aromatic_distances(start: int) -> dict[int, int]:
+        # traverse aromatic RING bonds only: following mere atom
+        # aromaticity walks across biaryl single bonds, leaking one ring's
+        # heteroatom increments into the other (and hiding the other ring
+        # from the 'aryl' substituent increment)
         dist = {start: 0}
         q = deque([start])
         while q:
@@ -500,9 +541,13 @@ def predict_shifts(mol: Mol) -> AtomShifts:
             if dist[v] >= 3:
                 continue
             for w in mol.neighbors(v):
-                if mol.atoms[w].aromatic and w not in dist:
-                    dist[w] = dist[v] + 1
-                    q.append(w)
+                if w in dist or not mol.atoms[w].aromatic:
+                    continue
+                b = mol.bond_between(v, w)
+                if b is None or not b.aromatic:
+                    continue
+                dist[w] = dist[v] + 1
+                q.append(w)
         return dist
 
     for i, a in enumerate(mol.atoms):
@@ -522,6 +567,8 @@ def predict_shifts(mol: Mol) -> AtomShifts:
             subs = sum(1 for j in mol.neighbors(i) if mol.atoms[j].symbol == "C")
             c[i] = 68.0 + 12.0 * (subs - 1)
             h[i] = 2.0 if mol.total_h(i) else 0.0
+        elif _is_imine_c(mol, i):
+            c[i], h[i] = _imine_shifts(mol, i)
         elif _is_alkene_c(mol, i):
             c[i], h[i] = _alkene_shifts(mol, i)
         else:
