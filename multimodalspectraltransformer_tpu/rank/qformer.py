@@ -32,6 +32,7 @@ implementation is the completed functional equivalent.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -348,6 +349,7 @@ def _ffn(lp: dict, x: Array, suffix: str) -> Array:
     return _norm(lp[f"norm2{suffix}"], x + y)
 
 
+@partial(jax.jit, static_argnames=("qcfg", "max_len", "sos", "eos"))
 def lm_generate_greedy(
     variables: Any,
     qcfg: QFormerConfig,
@@ -362,7 +364,12 @@ def lm_generate_greedy(
     `Qformer_v15_4.py:111-277,1017-1131`): the query prefix is encoded
     once, its per-layer K/V cached, then each text step appends one K/V
     column instead of re-running the prefix. Lanes that emit ``eos`` are
-    frozen: every later position repeats ``eos``. Returns [B, max_len] ids."""
+    frozen: every later position repeats ``eos``. Returns [B, max_len] ids.
+
+    Jitted with the token loop as ONE ``lax.scan``: an eager Python loop
+    would issue ~max_len x num_layers x ~15 per-op dispatches through the
+    TPU tunnel (~32 ms each — minutes per batch), and a jit over an
+    unrolled loop would compile a max_len-times-bigger graph."""
     params = variables["params"]
     qp = params["qformer"]
     c = qcfg
@@ -448,8 +455,7 @@ def lm_generate_greedy(
 
     tokens0 = jnp.full((B, max_len + 1), sos, jnp.int32)
     carry = (tokens0, jnp.zeros((B,), bool), caches_k, caches_v)
-    for t in range(max_len):
-        carry, _ = step(carry, t)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_len))
     return carry[0][:, 1:]
 
 

@@ -327,9 +327,16 @@ def reconstruct_hsqc(mol: Mol, shifts: AtomShifts) -> list[tuple[float, float]]:
 
 def reconstruct_cosy(mol: Mol, shifts: AtomShifts) -> list[tuple[float, float]]:
     """[(delta_H, delta_H')] cross peaks for adjacent H-bearing carbons plus
-    the diagonal, symmetry-deduplicated. Pairs touching a stereocenter or a
-    diastereotopic CH2 emit the full per-proton cross product (reference
-    `cosy_nmr_reconstruction_v15_4.py:165-207`)."""
+    the diagonal, symmetry-deduplicated (reference
+    `cosy_nmr_reconstruction_v15_4.py:165-207`).
+
+    DELIBERATE DEVIATION: the reference emits the full per-proton cross
+    product only for carbons whose RDKit chiral TAG is set
+    (`find_chiral_centers`, `:18-35` — CHI_UNSPECIFIED excluded). Factory
+    SMILES carry no stereo tags, so that gate would never fire here;
+    instead pairs touching a POTENTIAL stereocenter or a diastereotopic
+    CH2 (sim.stereo) get the cross product — the peaks a real spectrum of
+    either enantiomer would show."""
     carbons = set(_h_bearing_carbons(mol))
     if not carbons:
         return []

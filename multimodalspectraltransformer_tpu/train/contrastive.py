@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -45,9 +46,9 @@ def clip_tokenize(smiles_list, max_len: int = 64) -> tuple[np.ndarray, np.ndarra
     toks = np.zeros((len(smiles_list), max_len), np.int32)
     mask = np.zeros((len(smiles_list), max_len), np.int32)
     for i, s in enumerate(smiles_list):
-        ids, ok = chem_tokenizer.encode_smiles_framed(s, max_len)
+        ids, pad_mask = chem_tokenizer.encode_smiles_framed(s, max_len)
         toks[i] = ids
-        mask[i] = (np.asarray(ids) != 0).astype(np.int32)
+        mask[i] = 1 - np.asarray(pad_mask, np.int32)  # attention: 1 = real
     return toks, mask
 
 
@@ -92,19 +93,21 @@ def train_contrastive(
         raise ValueError(tower)
     tower_model, *_ = make_tower(tower, tower_cfg, text_tower_cfg)
 
-    @jax.jit
-    def encode(inputs):
-        enc = mmt_model.apply({"params": mmt_params}, inputs, None, True)
-        return enc.fingerprint, enc.memory, enc.memory_key_padding_mask
+    records = _drop_truncating_records(records, mmt_cfg.model)
 
     loader = Loader(
         records, mmt_cfg.model, ccfg.batch_size, seed=seed,
         order_strategy=ccfg.order_strategy,
     )
+    if len(records) < ccfg.batch_size:
+        raise ValueError(
+            f"train_contrastive needs at least batch_size={ccfg.batch_size} "
+            f"records for one batch; got {len(records)}"
+        )
 
     # init tower
     probe = next(iter(loader.epoch(0)))
-    fp, memory, kpm = encode(jax.tree.map(jnp.asarray, probe.inputs))
+    fp, memory, kpm = _encode_frozen(mmt_model, mmt_params, jax.tree.map(jnp.asarray, probe.inputs))
     smiles0 = _batch_smiles(probe)
     toks0, mask0 = clip_tokenize(smiles0, ccfg.max_text_len)
     if init_variables is not None:
@@ -151,7 +154,7 @@ def train_contrastive(
         for epoch in range(ccfg.num_epochs):
             for batch in loader.epoch(epoch):
                 inputs = jax.tree.map(jnp.asarray, batch.inputs)
-                fp, memory, kpm = encode(inputs)
+                fp, memory, kpm = _encode_frozen(mmt_model, mmt_params, inputs)
                 smiles = _batch_smiles(batch)
                 toks, mask = clip_tokenize(smiles, ccfg.max_text_len)
                 rng, sub = jax.random.split(rng)
@@ -178,6 +181,34 @@ def train_contrastive(
     if checkpoint_path:
         export_params_msgpack(variables, checkpoint_path)
     return variables, logger
+
+
+@partial(jax.jit, static_argnames=("mmt_model",))
+def _encode_frozen(mmt_model, mmt_params, inputs):
+    """Frozen-MMT encode with params as a TRACED argument: closing over
+    them would bake the whole parameter tree into the executable as
+    constants (bigger compiles, HBM duplication, no compile-cache hits)."""
+    enc = mmt_model.apply({"params": mmt_params}, inputs, None, True)
+    return enc.fingerprint, enc.memory, enc.memory_key_padding_mask
+
+
+def _drop_truncating_records(records, mcfg) -> list:
+    """Drop records whose SMILES would truncate under the trg framing
+    (frame_and_pad silently cuts at mcfg.spectrum_points - 2 tokens):
+    _batch_smiles detokenizes trg_tokens, so a truncated molecule would
+    pair its spectrum with a wrong (usually invalid) text string."""
+    from ..chem import tokenizer as chem_tok
+
+    kept = [
+        r for r in records
+        if len(chem_tok.encode_smiles(r.smiles)) <= mcfg.spectrum_points - 2
+    ]
+    if len(kept) != len(records):
+        print(
+            f"contrastive: dropped {len(records) - len(kept)} records whose "
+            f"SMILES exceed the {mcfg.spectrum_points - 2}-token trg framing"
+        )
+    return kept
 
 
 def _batch_smiles(batch) -> list[str]:
@@ -218,16 +249,20 @@ def retrieval_accuracy(
     mmt_model = mmt.MultimodalTransformer(mmt_cfg.model)
     tower_model, *_ = make_tower(tower, tower_cfg, text_tower_cfg)
 
-    @jax.jit
-    def encode(inputs):
-        enc = mmt_model.apply({"params": mmt_params}, inputs, None, True)
-        return enc.fingerprint, enc.memory, enc.memory_key_padding_mask
-
+    records = _drop_truncating_records(records, mmt_cfg.model)
     loader = Loader(records, mmt_cfg.model, batch_size, seed=seed, drop_remainder=False)
     text_embs, spec_embs = [], []
     for batch in loader.epoch(0):
+        n_real = batch.trg_tokens.shape[0]
+        if n_real < batch_size:
+            # pad the short remainder batch to the common shape: a new
+            # batch shape forces a second ~20-40 s full-MMT compile
+            pad = batch_size - n_real
+            batch = jax.tree.map(
+                lambda x: np.concatenate([x, np.repeat(x[-1:], pad, axis=0)]), batch
+            )
         inputs = jax.tree.map(jnp.asarray, batch.inputs)
-        fp, memory, kpm = encode(inputs)
+        fp, memory, kpm = _encode_frozen(mmt_model, mmt_params, inputs)
         smiles = _batch_smiles(batch)
         toks, mask = clip_tokenize(smiles, max_text_len)
         if tower == "clip":
@@ -239,8 +274,8 @@ def retrieval_accuracy(
                 {"params": variables["params"]}, jnp.asarray(toks), jnp.asarray(mask),
                 memory, kpm, True,
             )
-        text_embs.append(np.asarray(cb))
-        spec_embs.append(np.asarray(mt))
+        text_embs.append(np.asarray(cb)[:n_real])  # drop padded duplicates
+        spec_embs.append(np.asarray(mt)[:n_real])
     text = np.concatenate(text_embs)
     spec = np.concatenate(spec_embs)
     text = text / np.linalg.norm(text, axis=1, keepdims=True)
