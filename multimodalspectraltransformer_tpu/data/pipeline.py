@@ -397,15 +397,19 @@ class Loader:
         )
 
     def _host_slice(self, order):
-        """This host's share of an epoch order, TRUNCATED to the common
-        per-host length: a bare ``order[h::H]`` gives hosts unequal element
-        counts when len(order) % host_count != 0, and in multi-host
-        lockstep the longer host would dispatch a collective step the
-        others never join (hang)."""
+        """This host's share of an epoch order: a CONTIGUOUS block,
+        truncated to the common per-host length.
+
+        Contiguous (not strided ``order[h::H]``) because the ordering
+        strategies build hard-negative structure as contiguous batch runs
+        (samplers.tanimoto_anchor_order / weight_sorted_order) that a
+        stride would interleave away; truncated because unequal per-host
+        element counts would make one host dispatch a collective train
+        step the others never join (multi-host lockstep hang)."""
         if self.host_count <= 1:
             return order
         per_host = len(order) // self.host_count
-        return order[self.host_id :: self.host_count][:per_host]
+        return order[self.host_id * per_host : (self.host_id + 1) * per_host]
 
     def epoch(self, epoch: int) -> Iterator[TrainBatch]:
         from . import samplers

@@ -45,16 +45,15 @@ def tanimoto_anchor_order(
     n_bits: int = 512,
 ) -> np.ndarray:
     """Greedy anchor batches: pick a random unused anchor, fill its batch
-    with the most Tanimoto-similar unused molecules. O(n^2/batch) similarity
-    lookups done as one [n, n] matrix for the sizes this model trains at
-    (reference create_batches, `clip_functions_v15_4.py:33-94`)."""
+    with the most Tanimoto-similar unused molecules (reference
+    create_batches, `clip_functions_v15_4.py:33-94`). Similarities are
+    computed one anchor ROW at a time — a full [n, n] float32 matrix is
+    ~290 GB at the 269k-record corpora this repo trains (O(n) memory
+    instead, same order)."""
     n = len(smiles)
     fps, valid = chem.batch_morgan_fp(smiles, n_bits=n_bits)
     from ..chem.fingerprint import batch_tanimoto
 
-    sim = batch_tanimoto(fps, fps)
-    sim[~valid] = -1.0
-    sim[:, ~valid] = -1.0
     rng = np.random.default_rng((seed, epoch, 2))
     unused = np.ones(n, dtype=bool)
     order: list[int] = []
@@ -64,7 +63,11 @@ def tanimoto_anchor_order(
         unused[anchor] = False
         batch = [anchor]
         if unused.any():
-            sims = np.where(unused, sim[anchor], -np.inf)
+            row = batch_tanimoto(fps[anchor : anchor + 1], fps)[0]  # [n]
+            if not valid[anchor]:
+                row[:] = -1.0
+            row[~valid] = -1.0
+            sims = np.where(unused, row, -np.inf)
             take = min(batch_size - 1, int(unused.sum()))
             picked = np.argpartition(-sims, take - 1)[:take] if take > 0 else []
             for j in sorted(picked, key=lambda j: -sims[j]):

@@ -92,8 +92,12 @@ def build_model_db(
             feats.append(f)
     for lo in range(0, len(feats), batch_size):
         chunk = feats[lo : lo + batch_size]
-        tb = dp.collate(chunk)
-        fp = np.asarray(encode(params, jax.tree.map(jnp.asarray, tb.inputs)))
+        n_real = len(chunk)
+        # pad the ragged tail to the static batch shape: a second shape is
+        # a second full-encoder compile (~20-40 s on the TPU backend)
+        padded = chunk + [chunk[-1]] * (batch_size - n_real)
+        tb = dp.collate(padded)
+        fp = np.asarray(encode(params, jax.tree.map(jnp.asarray, tb.inputs)))[:n_real]
         for f, v in zip(chunk, fp):
             smiles.append(f["smiles"])
             vecs.append(v)

@@ -123,20 +123,14 @@ def batched_assignment_error_pallas(
     query_count: int,
     cand_counts: np.ndarray,
 ) -> np.ndarray:
-    """Drop-in for rank.matching.batched_assignment_error backed by the
-    Pallas kernel (hung_dist_zero semantics: padding pairs at zero cost)."""
-    C, M, _ = candidates.shape
-    N = max(query_count, M)
-    q = np.zeros((N, 2), np.float32)
-    q[:query_count] = query[:query_count]
-    cands = np.zeros((C, N, 2), np.float32)
-    cands[:, :M] = candidates
-    qj = jnp.asarray(q)
-    cj = jnp.asarray(cands)
-    cost = jnp.linalg.norm(qj[None, :, None, :] - cj[:, None, :, :], axis=-1)
-    total = auction_assignment_cost_pallas(cost)
-    denom = np.maximum(np.maximum(query_count, cand_counts), 1)
-    return np.asarray(total) / denom
+    """Alias of rank.matching.batched_assignment_error (hung_dist_zero
+    semantics: padding pairs at zero cost). Kept for the ops namespace;
+    matching owns the implementation — it dispatches to the compiled
+    Pallas kernel on TPU and to the fast jitted JAX auction elsewhere
+    (running the Pallas interpreter off-TPU is per-op Python, far slower)."""
+    from ..rank.matching import batched_assignment_error
+
+    return batched_assignment_error(query, candidates, query_count, cand_counts)
 
 
 def assignment_cost(cost: "np.ndarray | jax.Array", **kwargs) -> jax.Array:

@@ -383,6 +383,12 @@ def batched_assignment_error(
 
         total = auction_assignment_cost_pallas(cost, interpret=False)
     else:
-        total = auction_assignment_cost(cost)
+        # same eps-scaling schedule as batched_pairwise_assignment_error:
+        # a single small-eps pass can stall far from the optimum
+        total = auction_assignment_cost(
+            cost,
+            n_iters=max(200, 4 * N),
+            eps_schedule=(0.3, 0.06, 0.012, 2.4e-3, 5e-4, 1e-4),
+        )
     denom = np.maximum(np.maximum(query_count, cand_counts), 1)
     return np.asarray(total) / denom

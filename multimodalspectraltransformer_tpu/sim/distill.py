@@ -185,7 +185,8 @@ def train_shift_model(
     nodes0, adj0, mask0 = densify_batch(
         dev["nodes"][:2], dev["edges"][:2], dev["n_atoms"][:2]
     )
-    params = model.init(jax.random.PRNGKey(seed), nodes0, adj0, mask0)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), nodes0, adj0, mask0)["params"]
+    # jitted init: eager flax init dispatches per-op through the TPU tunnel (CLAUDE.md)
     tx = optax.adamw(optax.cosine_decay_schedule(lr, n_steps, 0.05))
     opt = tx.init(params)
 
@@ -276,7 +277,8 @@ def train_ir_model(
     nodes0, adj0, mask0 = densify_batch(
         dev["nodes"][:2], dev["edges"][:2], dev["n_atoms"][:2]
     )
-    params = model.init(jax.random.PRNGKey(seed), nodes0, adj0, mask0)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), nodes0, adj0, mask0)["params"]
+    # jitted init: eager flax init dispatches per-op through the TPU tunnel (CLAUDE.md)
     tx = optax.adamw(optax.cosine_decay_schedule(lr, n_steps, 0.05))
     opt = tx.init(params)
 

@@ -65,7 +65,10 @@ def _to_smiles(mol: Mol) -> Optional[str]:
     try:
         finalize(mol, strict=True)
         return write_smiles(mol, ranks=canonical_ranks(mol))
-    except (SmilesError, Exception):
+    except Exception:
+        # graph mutations routinely produce chemically impossible inputs
+        # (valence errors and anything downstream of them): every failure
+        # just voids this mutation trial
         return None
 
 
@@ -220,12 +223,21 @@ def mutate(mol: Mol, rng: random.Random) -> Optional[str]:
         if len(terminals) == 0 or n <= 3:
             return None
         victim = rng.choice(terminals)
+        cut_order = {j: (m.bond_between(victim, j).order if m.bond_between(victim, j) else 1)
+                     for j in m.neighbors(victim)}
         keep = [i for i in range(n) if i != victim]
         m2 = Mol()
         remap = {}
         for i in keep:
             a = m.atoms[i]
-            remap[i] = m2.add_atom(Atom(a.symbol, a.aromatic, a.charge, -1, a.isotope))
+            # only the deleted atom's neighbor gains valence: re-derive its
+            # implicit H (or bump its bracket H by the cut bond order).
+            # Resetting explicit_h everywhere would silently drop required
+            # bracket hydrogens (e.g. pyrrole [nH]).
+            eh = a.explicit_h
+            if i in cut_order:
+                eh = -1 if a.explicit_h < 0 else a.explicit_h + cut_order[i]
+            remap[i] = m2.add_atom(Atom(a.symbol, a.aromatic, a.charge, eh, a.isotope))
         for b in m.bonds:
             if b.a1 in remap and b.a2 in remap:
                 m2.add_bond(remap[b.a1], remap[b.a2], b.order, b.aromatic)
@@ -353,23 +365,25 @@ def sample_model_neighbors(
         return []
     batch = dp.collate([feats]).inputs
     model = mmt_mod.MultimodalTransformer(mcfg)
-    enc = jax.jit(lambda p, b: model.apply({"params": p}, b, None, True))(
-        params, jax.tree.map(jnp.asarray, batch)
-    )
+    from ..eval.harness import _encode_batch  # module-level cached jit
+
+    enc = _encode_batch(model, params, jax.tree.map(jnp.asarray, batch))
     target_mw = chem.mol_wt(can) or 0.0
     digest = hashlib.sha256(f"{cfg.seed}|model|{can}".encode()).digest()
     rng = jax.random.PRNGKey(int.from_bytes(digest[:4], "little"))
+    # NO decode-side MW window: the sampler's gate is symmetric +-mw_delta,
+    # but the MolFormer-bridge semantics (_passes_filters / the reference's
+    # MF_filter_higher) only cap the HIGH side — let the shared filters
+    # below decide, identically to the graph-mutation path
     dcfg = DecodeConfig(
         fanout=fanout,
         multinom_runs=cfg.generations_per_target * 3,  # pre-filter surplus
         max_temp_rounds=max_rounds,
         temperature=temperature,
-        mw_filter=True,
-        mw_delta=cfg.mw_delta,
+        mw_filter=False,
     )
     cands = generation.generate_candidates(
         params, mcfg, enc.memory, enc.memory_key_padding_mask, rng, dcfg,
-        target_mw=target_mw,
     )
     accepted: list[str] = []
     scaffold_counts: dict[str, int] = {}
