@@ -38,7 +38,12 @@ def _smooth_knn(dist: np.ndarray, k: int, n_iter: int = 64):
     """Per-point (rho, sigma): rho = nearest nonzero distance, sigma solves
     sum_j exp(-(d_ij - rho)/sigma) = log2(k)."""
     n = dist.shape[0]
-    rho = np.where(dist[:, 0] > 0, dist[:, 0], 0.0)
+    # rho = nearest NONZERO distance (standard UMAP local connectivity):
+    # with duplicate points dist[:, 0] is 0 and the point would lose its
+    # guaranteed membership-1 edge, deflating its neighborhood weights
+    nonzero = np.where(dist > 0, dist, np.inf)
+    rho = np.min(nonzero, axis=1)
+    rho = np.where(np.isfinite(rho), rho, 0.0)  # all-duplicate row
     target = np.log2(k)
     sigma = np.ones(n)
     for i in range(n):

@@ -60,11 +60,25 @@ class ServerState:
 
         from ..models import mmt
 
+        # double-checked locking: init_params is ~46 s cold on the TPU
+        # backend — holding the lock through it would freeze every endpoint
         with self.lock:
-            if self.params is None:
-                log("initializing model parameters (untrained)")
-                self.params = mmt.init_params(self.model_cfg, jax.random.PRNGKey(0))
+            if self.params is not None:
+                return self.params
+            cfg = self.model_cfg
+        log("initializing model parameters (untrained)")
+        params = mmt.init_params(cfg, jax.random.PRNGKey(0))
+        with self.lock:
+            if self.params is None and self.model_cfg is cfg:
+                self.params = params
             return self.params
+
+    def snapshot_model(self, log: Callable[[str], None] = lambda s: None):
+        """(params, model_cfg) as one atomic pair — reading them separately
+        can hand a job old-shape params with a newly-switched config."""
+        params = self.ensure_params(log)
+        with self.lock:
+            return self.params if self.params is not None else params, self.model_cfg
 
     def load_checkpoint(self, path: str) -> None:
         import jax
@@ -72,9 +86,13 @@ class ServerState:
         from ..models import mmt
         from ..train import checkpoint as ckpt
 
-        template = mmt.init_params(self.model_cfg, jax.random.PRNGKey(0))
+        with self.lock:
+            cfg = self.model_cfg
+        template = mmt.init_params(cfg, jax.random.PRNGKey(0))
         params = ckpt.import_params_msgpack(template, path)
         with self.lock:
+            if self.model_cfg is not cfg:
+                raise RuntimeError("model preset changed while loading checkpoint; retry")
             self.params = params
 
 
@@ -266,11 +284,11 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
                 recs = list((st.sim_records if source == "sim" else st.records).values())
             if not recs:
                 raise ValueError(f"no records in source {source!r}; upload or simulate first")
-            params = st.ensure_params(job.log)
+            params, model_cfg = st.snapshot_model(job.log)
             job.log(f"evaluating {len(recs)} molecules (source={source})")
             dcfg = DecodeConfig(**{k: v for k, v in opts.items() if k in DecodeConfig.__dataclass_fields__})
             results, summary = harness.evaluate_molecules(
-                recs, params, st.model_cfg, dcfg,
+                recs, params, model_cfg, dcfg,
                 simulate_errors=bool(opts.get("simulate_errors", False)),
                 run_mns=bool(opts.get("run_mns", True)),
             )
@@ -303,8 +321,8 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
                 recs = list(st.sim_records.values()) or list(st.records.values())
             if not recs:
                 raise ValueError("no records; simulate or upload first")
-            params = st.ensure_params(job.log)
-            cfg = MMTConfig(model=st.model_cfg, train=TrainConfig())
+            params, model_cfg = st.snapshot_model(job.log)
+            cfg = MMTConfig(model=model_cfg, train=TrainConfig())
             icfg = ic.ImprovementCycleConfig(
                 max_cycles=int(opts.get("max_cycles", 1)),
                 ic_threshold=float(opts.get("ic_threshold", 0.6)),
@@ -312,7 +330,8 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
             )
             job.log(f"improvement cycle over {len(recs)} targets, max_cycles={icfg.max_cycles}")
             new_params, reports = ic.run_improvement_cycle(
-                cfg, recs, params, icfg, rng=jax.random.PRNGKey(0)
+                cfg, recs, params, icfg, rng=jax.random.PRNGKey(0),
+                should_stop=lambda: job.cancelled,  # cancel between cycles
             )
             with st.lock:
                 st.params = new_params
@@ -348,11 +367,29 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
                         )
                         st.params = None  # re-init lazily for the new shape
                 if payload.get("checkpoint"):
-                    st.load_checkpoint(payload["checkpoint"])
+                    # device work (template init + import) goes through the
+                    # job queue: the request thread must never dispatch to
+                    # the single-streamed chip alongside a running job
+                    ckpt_path = payload["checkpoint"]
+
+                    def load_job(job):
+                        job.log(f"loading checkpoint {ckpt_path}")
+                        st.load_checkpoint(ckpt_path)
+                        return {"loaded": ckpt_path}
+
+                    try:
+                        job = st.jobs.submit("load-checkpoint", load_job)
+                    except jobs_mod.QueueFullError as e:
+                        return _json_resp(start_response, {"error": str(e)}, "429 Too Many Requests")
+                    return _json_resp(start_response, {
+                        "ok": True,
+                        "layers": st.model_cfg.num_encoder_layers,
+                        "job": job.to_dict(),
+                    }, "202 Accepted")
                 return _json_resp(start_response, {
                     "ok": True,
                     "layers": st.model_cfg.num_encoder_layers,
-                    "loaded": bool(payload.get("checkpoint")),
+                    "loaded": False,
                 })
 
             if path == "/api/upload" and method == "POST":

@@ -65,14 +65,25 @@ def run_improvement_cycle(
     val_smiles: Optional[set] = None,
     rng: Optional[jax.Array] = None,
     checkpoint_dir: Optional[str] = None,
+    should_stop=None,  # optional callable polled before each cycle (job cancel)
 ) -> tuple[Any, list[CycleReport]]:
     """Returns (final params, per-cycle reports)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     params = init_params
     reports: list[CycleReport] = []
-    val_canon = {chem.canonicalize(s) for s in (val_smiles or set())}
+    # the collision filter must see val molecules through the SAME
+    # clean/stereo-strip transform the augmentation set goes through —
+    # plain canonicalization keeps stereo markers, so a val molecule's
+    # stereo-stripped twin would slip into training
+    from ..chem.cleaning import clean_smiles_list
+
+    val_canon = set(clean_smiles_list(list(val_smiles or set()))) | {
+        chem.canonicalize(s) for s in (val_smiles or set())
+    }
 
     for cycle in range(icfg.max_cycles):
+        if should_stop is not None and should_stop():
+            break
         # 1) generate augmentation molecules around each target
         aug_smiles: list[str] = []
         for rec in target_records:
@@ -87,12 +98,12 @@ def run_improvement_cycle(
         # 2) dataset-cleaning criteria (reference filter_invalid_criteria:
         # drop P/Si/bare-B/charged molecules, strip stereo) then filter vs
         # validation set (reference mrtf.filter_smiles)
-        from ..chem.cleaning import clean_smiles_list
-
         aug_smiles = clean_smiles_list(aug_smiles)
         aug_smiles = [s for s in aug_smiles if s not in val_canon]
         if icfg.include_targets_in_training:
-            aug_smiles.extend(r.smiles for r in target_records)
+            # targets pass through the same clean/strip transform so the
+            # dedup below recognizes cleaned neighbors as duplicates
+            aug_smiles.extend(clean_smiles_list([r.smiles for r in target_records]))
         # dedup
         aug_smiles = list(dict.fromkeys(aug_smiles))
 
@@ -122,7 +133,11 @@ def run_improvement_cycle(
         # 6) evaluate on the targets
         _, summary = evaluate_molecules(
             target_records, params, cfg.model,
-            DecodeConfig(max_len=cfg.model.spectrum_points, fanout=32, multinom_runs=5, max_temp_rounds=3),
+            DecodeConfig(
+                # never beyond the decoder's KV-cache/positional table size
+                max_len=min(cfg.model.spectrum_points, cfg.model.max_len),
+                fanout=32, multinom_runs=5, max_temp_rounds=3,
+            ),
             jax.random.fold_in(rng, cycle),
             simulate_errors=False,
             run_mns=icfg.eval_mns,

@@ -64,6 +64,8 @@ def main() -> int:
     if args.synthetic:
         records = dp.synthetic_dataset(args.synthetic, seed=args.seed)
     else:
+        if not args.smiles:
+            raise SystemExit("one of --smiles FILE or --synthetic N is required")
         from multimodalspectraltransformer_tpu.cli import _read_smiles
 
         smiles = _read_smiles(args.smiles)
@@ -87,10 +89,25 @@ def main() -> int:
     chunks = [records[i : i + args.chunk_size] for i in range(0, len(records), args.chunk_size)]
     my_chunks = [(ci, c) for ci, c in enumerate(chunks) if ci % args.num_shards == args.shard]
 
+    # resume digests must cover the checkpoint AND decode config, not just
+    # the molecules — a re-run with a different --params must not silently
+    # reuse the old model's chunks
+    if args.params:
+        with open(args.params, "rb") as f:
+            params_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    else:
+        params_hash = f"init{args.seed}"
+    run_key = (
+        f"{params_hash}#f{args.fanout}.m{args.multinom_runs}.r{args.rounds}"
+        f".l{args.max_len}.s{int(not args.no_sim_errors)}"
+    )
+
     all_results = []
     for ci, chunk in my_chunks:
         path = os.path.join(args.out, f"chunk_{ci:04d}.json")
-        digest = hashlib.sha256("|".join(r.smiles for r in chunk).encode()).hexdigest()[:16]
+        digest = hashlib.sha256(
+            ("|".join(r.smiles for r in chunk) + "#" + run_key).encode()
+        ).hexdigest()[:16]
         if os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)
@@ -148,6 +165,27 @@ def main() -> int:
         with open(os.path.join(args.out, f"summary_shard{args.shard}.json"), "w") as f:
             json.dump(agg, f, indent=2)
         print("[sweep] " + json.dumps(agg), flush=True)
+
+    # cross-shard aggregation: when every shard's summary exists, merge
+    # them into the sweep/summary.json the module docstring promises
+    shard_files = [
+        os.path.join(args.out, f"summary_shard{s}.json") for s in range(args.num_shards)
+    ]
+    if all(os.path.exists(p) for p in shard_files):
+        shards = [json.load(open(p)) for p in shard_files]
+        total_n = sum(s["n"] for s in shards)
+        merged = {
+            "n": total_n,
+            "num_shards": args.num_shards,
+            "greedy_exact": sum(s["greedy_exact"] * s["n"] for s in shards) / total_n,
+            "mns_exact": sum(s["mns_exact"] * s["n"] for s in shards) / total_n,
+            "mean_best_tanimoto": sum(s["mean_best_tanimoto"] * s["n"] for s in shards) / total_n,
+            "mean_greedy_tanimoto": sum(s["mean_greedy_tanimoto"] * s["n"] for s in shards) / total_n,
+            "total_wall_s": sum(s["total_wall_s"] for s in shards),
+        }
+        with open(os.path.join(args.out, "summary.json"), "w") as f:
+            json.dump(merged, f, indent=2)
+        print("[sweep] all shards done: " + json.dumps(merged), flush=True)
     return 0
 
 
