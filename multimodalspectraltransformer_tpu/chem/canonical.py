@@ -203,8 +203,25 @@ def _atom_token(mol: Mol, i: int) -> str:
 _ORDER_TOKEN = {1: "", 2: "=", 3: "#"}
 
 
-def _bond_token(b) -> str:
-    return "" if b.aromatic else _ORDER_TOKEN[b.order]
+def _bond_token(mol: Mol, b) -> str:
+    """Bond prefix such that the emitted string re-parses to this bond.
+
+    The implicit (empty) token reads back as aromatic iff BOTH endpoint
+    atoms are aromatic (and the bond sits in a ring), so:
+    - aromatic bond, both atoms aromatic -> implicit
+    - aromatic bond, an endpoint not aromatic -> explicit ':' (else the
+      bond silently degrades to single and the H count changes)
+    - single bond between two aromatic atoms -> explicit '-' (else an
+      in-ring biaryl link, e.g. biphenylene, reads back as aromatic);
+      this is also RDKit's output convention for biaryls
+    """
+    a1_ar = mol.atoms[b.a1].aromatic
+    a2_ar = mol.atoms[b.a2].aromatic
+    if b.aromatic:
+        return "" if (a1_ar and a2_ar) else ":"
+    if b.order == 1 and a1_ar and a2_ar:
+        return "-"
+    return _ORDER_TOKEN[b.order]
 
 
 def write_smiles(
@@ -270,11 +287,14 @@ def write_smiles(
     next_label = [1]
 
     def fmt_ring(lbl: int) -> str:
+        if lbl >= 100:
+            # '%100' would re-parse as ring 10 + ring 0 — fail loudly
+            raise SmilesError("more than 99 simultaneously open ring closures")
         return str(lbl) if lbl < 10 else f"%{lbl:02d}"
 
     def emit(v: int, pb: int) -> None:
         if pb >= 0:
-            out.append(_bond_token(mol.bonds[pb]))
+            out.append(_bond_token(mol, mol.bonds[pb]))
         out.append(_atom_token(mol, v))
         digits = ring_at[v]
         if rng is None:
@@ -287,7 +307,7 @@ def write_smiles(
                 else:
                     next_label[0] += 1
                 ring_label[bi] = lbl
-                out.append(_bond_token(mol.bonds[bi]) + fmt_ring(lbl))
+                out.append(_bond_token(mol, mol.bonds[bi]) + fmt_ring(lbl))
             else:
                 lbl = ring_label.pop(bi)
                 out.append(fmt_ring(lbl))
@@ -325,6 +345,8 @@ def randomize_smiles(smiles: str, rng: Optional[_random.Random] = None) -> Optio
     reference `smi_augmenter_v15_4.py:97`)."""
     try:
         mol = parse_smiles(smiles)
-    except SmilesError:
+        return write_smiles(mol, ranks=None, rng=rng or _random.Random())
+    except (SmilesError, RecursionError):
+        # same None-propagation contract as canonical_smiles: a too-deep
+        # DFS skips the record instead of crashing corpus augmentation
         return None
-    return write_smiles(mol, ranks=None, rng=rng or _random.Random())

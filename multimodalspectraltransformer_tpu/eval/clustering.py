@@ -44,7 +44,8 @@ def embed(vectors: np.ndarray, method: str = "pca", n_components: int = 2,
         from sklearn.manifold import TSNE
 
         n = len(vectors)
-        perplexity = max(2.0, min(30.0, (n - 1) / 3.0))
+        # sklearn requires perplexity < n_samples (floor of 2.0 broke n=2)
+        perplexity = min(max(2.0, min(30.0, (n - 1) / 3.0)), max(n - 1.0, 1.0))
         return np.asarray(
             TSNE(n_components=n_components, random_state=random_state,
                  perplexity=perplexity, init="pca").fit_transform(np.asarray(vectors, np.float32)),
@@ -124,6 +125,8 @@ def cluster_plot_html(
     tooltips (SMILES + label) — the zero-dependency stand-in for the
     reference's plotly HTML export."""
     c = np.asarray(coords, dtype=float)
+    if c.size == 0:
+        raise ValueError("cluster_plot_html: no points to plot (empty coords)")
     lo = c.min(axis=0)
     hi = c.max(axis=0)
     span = np.maximum(hi - lo, 1e-9)

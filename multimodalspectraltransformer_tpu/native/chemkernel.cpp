@@ -743,12 +743,19 @@ static std::string atom_token(const Mol& mol, int i) {
   return out;
 }
 
-static std::string bond_token(const Bond& b) {
-  if (b.aromatic) return "";
+// Mirror of chem/canonical.py:_bond_token — the emitted prefix must
+// re-parse to this bond: implicit reads back aromatic iff both endpoint
+// atoms are aromatic, so ':' is explicit when an endpoint is not aromatic
+// and '-' is explicit for single bonds between two aromatic atoms
+// (biaryl / biphenylene; RDKit's output convention too).
+static std::string bond_token(const Mol& mol, const Bond& b) {
+  bool a1_ar = mol.atoms[b.a1].aromatic;
+  bool a2_ar = mol.atoms[b.a2].aromatic;
+  if (b.aromatic) return (a1_ar && a2_ar) ? "" : ":";
   switch (b.order) {
     case 2: return "=";
     case 3: return "#";
-    default: return "";
+    default: return (a1_ar && a2_ar) ? "-" : "";
   }
 }
 
@@ -796,13 +803,14 @@ struct Writer {
 
   static std::string fmt_ring(int lbl) {
     if (lbl < 10) return std::to_string(lbl);
+    if (lbl >= 100) throw ParseError{};  // '%100' would re-parse as 10 + 0
     char buf[8];
     snprintf(buf, sizeof buf, "%%%02d", lbl);
     return buf;
   }
 
   void emit(int v, int pb) {
-    if (pb >= 0) out += bond_token(mol.bonds[pb]);
+    if (pb >= 0) out += bond_token(mol, mol.bonds[pb]);
     out += atom_token(mol, v);
     std::vector<int> digits = ring_at[v];
     std::stable_sort(digits.begin(), digits.end(), [&](int x, int y) {
@@ -819,7 +827,7 @@ struct Writer {
           lbl = next_label++;
         }
         ring_label[bi] = lbl;
-        out += bond_token(mol.bonds[bi]) + fmt_ring(lbl);
+        out += bond_token(mol, mol.bonds[bi]) + fmt_ring(lbl);
       } else {
         int lbl = it->second;
         ring_label.erase(it);

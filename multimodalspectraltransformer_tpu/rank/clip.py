@@ -41,7 +41,9 @@ class CLIPConfig:
     text_ffn: int = 3072
     text_max_len: int = 128
     pad_token_id: int = 0
-    # feature dims (reference config_V8: CB_embedding=1024, MT_embedding=512)
+    # feature dims (reference config_V8: CB_embedding=1024, MT_embedding=512;
+    # mt_embedding is informational — the MT head's input width comes from
+    # the fingerprint array itself)
     cb_embedding: int = 1024
     mt_embedding: int = 512
     projection_dim: int = 512
@@ -203,10 +205,13 @@ def score_candidates_batch(
         variables, cand_tokens.reshape(M * C, T), cand_mask.reshape(M * C, T),
         True, method="embed_text",
     ).reshape(M, C, -1)
-    fp = jnp.tile(fingerprints[:, None, :], (1, C, 1))  # duplicated rows, reference style
-    mt = model.apply(
-        variables, fp.reshape(M * C, -1), True, method="embed_spectrum"
-    ).reshape(M, C, -1)
+    # project the M unique fingerprints ONCE and tile the embeddings —
+    # numerically identical to the reference's duplicated-row projection
+    # (deterministic head on identical inputs) at 1/C the projection work
+    mt_unique = model.apply(
+        variables, fingerprints, True, method="embed_spectrum"
+    )  # [M, D]
+    mt = jnp.tile(mt_unique[:, None, :], (1, C, 1))
 
     def one(cb_m, mt_m):
         out = clip_loss(cb_m, mt_m, cfg.temperature)

@@ -117,8 +117,7 @@ class ModelConfig:
     num_encoder_layers: int = 6
     num_decoder_layers: int = 6
     ffn_dim: int = 2048
-    dropout: float = 0.1
-    attention_dropout: float = 0.1
+    dropout: float = 0.1  # one rate everywhere, like the reference's drop_out
     layer_norm_eps: float = 1e-5
 
     smiles_vocab_size: int = 43  # in_size / out_size / MS_vocab_size
@@ -342,7 +341,6 @@ def from_reference_json(path_or_dict: str | Mapping[str, Any]) -> MMTConfig:
         num_encoder_layers=int(flat.get("num_encoder_layers", 6)),
         num_decoder_layers=int(flat.get("num_decoder_layers", 6)),
         dropout=float(flat.get("drop_out", 0.1)),
-        attention_dropout=float(flat.get("drop_out", 0.1)),
         smiles_vocab_size=int(flat.get("in_size", 43)),
         mf_vocab_size=int(flat.get("MF_vocab_size", 212)),
         fingerprint_size=int(flat.get("fingerprint_size", 512)),

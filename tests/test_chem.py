@@ -191,3 +191,32 @@ def test_nh_aromatic_roundtrip_preserves_hydrogens():
         assert api.canonicalize(can) == can
         assert api.mol_formula(can) == api.mol_formula(smi)
         assert abs(api.exact_mol_wt(can) - api.exact_mol_wt(smi)) < 1e-6
+
+
+def test_canonical_biaryl_and_explicit_aromatic_bonds():
+    """Writer must emit '-' for single bonds between aromatic atoms (an
+    in-ring biaryl link like biphenylene reads back as aromatic otherwise)
+    and ':' for aromatic bonds with a non-aromatic endpoint; both forms
+    must canonicalize idempotently and preserve formula/MW."""
+    from multimodalspectraltransformer_tpu.chem import api
+
+    # biphenylene: two aromatic rings fused through a cyclobutane of two
+    # single bonds between aromatic carbons (RDKit-canonical style input)
+    for smi, formula in [
+        ("c1ccc2c(c1)-c1ccccc1-2", "C12H8"),
+        ("c1ccccc1c1ccccc1", "C12H10"),  # implicit biaryl link = single
+        ("C1:C:C:C:C:C1", "C6H6"),  # explicit ':' bonds, benzene-like valence
+    ]:
+        can = api.canonicalize(smi)
+        assert can is not None, smi
+        assert api.canonicalize(can) == can, (smi, can)
+        assert api.mol_formula(can) == formula, (smi, can, api.mol_formula(can))
+    # biphenylene's two spellings of the same graph converge
+    import random
+
+    from multimodalspectraltransformer_tpu.chem.canonical import randomize_smiles
+
+    c = api.canonicalize("c1ccc2c(c1)-c1ccccc1-2")
+    for i in range(6):
+        r = randomize_smiles(c, random.Random(i))
+        assert api.canonicalize(r) == c, (r, api.canonicalize(r))
