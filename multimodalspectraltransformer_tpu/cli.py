@@ -112,7 +112,12 @@ def _load_params(args, mcfg):
     from .train import checkpoint as ckpt
 
     template = mmt.init_params(mcfg, jax.random.PRNGKey(args.seed))
-    if args.params and os.path.exists(args.params):
+    if args.params:
+        if not os.path.exists(args.params):
+            # an explicitly requested checkpoint must never silently fall
+            # back to random init (near-zero metrics would look like a
+            # real bad result)
+            raise SystemExit(f"--params {args.params!r} does not exist")
         return ckpt.import_params_msgpack(template, args.params)
     if args.torch_checkpoint:
         from .models import convert
@@ -145,9 +150,9 @@ def cmd_train(args) -> int:
         return 1
     n_val = max(1, int(len(records) * 0.1))
     n_train = len(records) - n_val
-    bs = max(1, min(args.batch_size, n_train))
-    if bs != args.batch_size:
-        print(f"note: batch size clamped to {bs} ({n_train} training records)", file=sys.stderr)
+    if n_train < 1:
+        print(json.dumps({"error": f"{len(records)} records is too few to split train/val"}))
+        return 1
     from .data.pipeline import FeaturizeOptions, augment_records
 
     train_records = records[:-n_val]
@@ -160,6 +165,10 @@ def cmd_train(args) -> int:
     if augment > 1:
         train_records = augment_records(train_records, augment, seed=args.seed)
         print(f"augmented {n_train} -> {len(train_records)} records", file=sys.stderr)
+    # clamp AFTER augmentation: the expanded set may well fill the batch
+    bs = max(1, min(args.batch_size, len(train_records)))
+    if bs != args.batch_size:
+        print(f"note: batch size clamped to {bs} ({len(train_records)} training records)", file=sys.stderr)
     loader = Loader(train_records, mcfg, batch_size=bs, seed=args.seed, opts=opts)
     val = Loader(records[-n_val:], mcfg, batch_size=min(bs, n_val), seed=args.seed, drop_remainder=False)
 
@@ -252,8 +261,9 @@ def cmd_improve(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    os.environ.setdefault("BENCH_BATCH", str(args.batch))
-    os.environ.setdefault("BENCH_BEAM", str(args.beam))
+    # explicit flags win over any stale BENCH_* exports in the shell
+    os.environ["BENCH_BATCH"] = str(args.batch)
+    os.environ["BENCH_BEAM"] = str(args.beam)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
@@ -263,9 +273,7 @@ def cmd_bench(args) -> int:
 
 def cmd_serve(args) -> int:
     from .serve import ServerState, serve
-    from .utils.config import ModelConfig
-
-    mcfg = ModelConfig.small() if args.small else ModelConfig()
+    mcfg = _model_cfg(args)
     state = ServerState(model_cfg=mcfg)
     if args.params:
         state.load_checkpoint(args.params)
@@ -279,9 +287,9 @@ def cmd_train_clip(args) -> int:
     from .data import pipeline as dp
     from .models import mmt
     from .train import contrastive
-    from .utils.config import MMTConfig, ModelConfig
+    from .utils.config import MMTConfig
 
-    mcfg = ModelConfig.small() if args.small else ModelConfig()
+    mcfg = _model_cfg(args)
     cfg = MMTConfig(model=mcfg)
     records = _load_records(args, mcfg)
     if args.params:
@@ -327,6 +335,9 @@ def cmd_vectorize(args) -> int:
     print(json.dumps({"n": len(db), "out": args.out}))
     if args.query:
         scores, idx, names, valid = vectordb.query_smiles(db, [args.query], k=args.k)
+        if not valid[0]:
+            print(json.dumps({"query": args.query, "error": "query SMILES is invalid"}))
+            return 1
         print(json.dumps({"query": args.query, "hits": names[0], "scores": scores[0].tolist()}))
     return 0
 

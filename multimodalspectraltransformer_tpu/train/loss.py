@@ -22,6 +22,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..utils import vocab
+
 Array = jax.Array
 
 
@@ -66,7 +68,7 @@ def total_loss(
     """Teacher-forcing loss: input = trg[:, :-1], target = trg[:, 1:]
     (reference `models_MMT_v15_4.py:1061-1062`, `:268-271`)."""
     targets = trg_tokens_full[:, 1:]
-    mask = (targets != 0) if pad_aware else None
+    mask = (targets != vocab.PAD_ID) if pad_aware else None
     smi = smiles_cross_entropy(logits, targets, mask)
     fp = fingerprint_bce(fp_logits, fp_target)
     total = weight_smi * smi + weight_fp * fp + extra

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.mmt import MMTBatch, MultimodalTransformer
+from ..utils import vocab
 from ..utils.config import MMTConfig
 from . import loss as loss_mod
 from .state import TrainState, apply_grads
@@ -65,7 +66,7 @@ def loss_fn(params, model: MultimodalTransformer, cfg: MMTConfig, batch: TrainBa
     )
     targets = batch.trg_tokens[:, 1:]
     pred = jnp.argmax(logits, axis=-1)
-    live = targets != 0
+    live = targets != vocab.PAD_ID
     acc = jnp.sum((pred == targets) & live) / jnp.maximum(jnp.sum(live), 1)
     return out.total, (out, acc)
 
@@ -107,6 +108,6 @@ def eval_step(
     )
     targets = batch.trg_tokens[:, 1:]
     pred = jnp.argmax(logits, axis=-1)
-    live = targets != 0
+    live = targets != vocab.PAD_ID
     acc = jnp.sum((pred == targets) & live) / jnp.maximum(jnp.sum(live), 1)
     return StepMetrics(out.total, out.smi_loss, out.fp_loss, acc, jnp.zeros(()))
