@@ -51,6 +51,11 @@ def morgan_bits(mol: Mol, radius: int = 2, n_bits: int = 512) -> np.ndarray:
     for _r in range(radius):
         new_ids = list(ids)
         new_envs = list(env_bonds)
+        # ECFP duplicate-environment dedup must be ATOM-ORDER INDEPENDENT:
+        # collect each bond-set's MINIMUM env id for this round (RDKit's
+        # tie-break), then set bits — first-seen-wins made the fingerprint
+        # depend on the SMILES atom ordering
+        round_envs: dict[frozenset, int] = {}
         for i in range(n):
             neigh = []
             bonds = frozenset()
@@ -64,9 +69,13 @@ def morgan_bits(mol: Mol, radius: int = 2, n_bits: int = 512) -> np.ndarray:
             nid = _h(_r + 1, ids[i], *[x for pair in neigh for x in pair])
             new_ids[i] = nid
             new_envs[i] = bonds
+            cur = round_envs.get(bonds)
+            if cur is None or nid < cur:
+                round_envs[bonds] = nid
+        for bonds, nid in round_envs.items():
             if bonds in seen_envs:
-                # identical environment already hashed this iteration or a
-                # previous one -> don't set a new bit (ECFP dedup)
+                # environment already hashed in an earlier round -> no new
+                # bit (the smaller-radius bit represents it)
                 continue
             seen_envs[bonds] = nid
             fp[nid % n_bits] = 1

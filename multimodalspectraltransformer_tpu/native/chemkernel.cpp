@@ -897,6 +897,9 @@ static void morgan_bits_of(const Mol& mol, int radius, int n_bits,
   for (int r = 0; r < radius; ++r) {
     std::vector<uint64_t> new_ids(ids);
     std::vector<std::vector<int>> new_envs(env_bonds);
+    // ECFP dedup must be atom-order independent: per-round bond-set ->
+    // MINIMUM env id (mirror of chem/fingerprint.py round_envs)
+    std::map<std::vector<int>, uint64_t> round_envs;
     for (int i = 0; i < n; ++i) {
       std::vector<std::pair<uint64_t, uint64_t>> neigh;  // (order_code, id)
       std::set<int> bonds_set;
@@ -921,9 +924,13 @@ static void morgan_bits_of(const Mol& mol, int radius, int n_bits,
       new_ids[i] = nid;
       std::vector<int> bonds(bonds_set.begin(), bonds_set.end());
       new_envs[i] = bonds;
-      if (seen_envs.count(bonds)) continue;
-      seen_envs.insert(bonds);
-      fp[nid % (uint64_t)n_bits] = 1;
+      auto it = round_envs.find(bonds);
+      if (it == round_envs.end() || nid < it->second) round_envs[bonds] = nid;
+    }
+    for (auto& kv : round_envs) {
+      if (seen_envs.count(kv.first)) continue;
+      seen_envs.insert(kv.first);
+      fp[kv.second % (uint64_t)n_bits] = 1;
     }
     ids = std::move(new_ids);
     env_bonds = std::move(new_envs);

@@ -115,7 +115,12 @@ def predict_ir(mol: Mol) -> np.ndarray:
                     n_alcohol_o += 1
             elif not any(
                 mol.bonds[b].order == 2 for b in mol.adjacency[i]
+            ) and all(
+                mol.atoms[mol.bonds[b].other(i)].symbol == "C"
+                for b in mol.adjacency[i]
             ):
+                # C-O-C only: the [O-] of a nitro group (or any O-on-
+                # heteroatom) is not an ether and must not add a C-O band
                 n_ether_o += 1
         elif a.symbol == "N":
             if _is_nitro_n(mol, i):
@@ -128,7 +133,11 @@ def predict_ir(mol: Mol) -> np.ndarray:
                     n_amide_nh += nh
                 else:
                     n_amine_nh += nh
-            if not a.aromatic:
+            if not a.aromatic and not any(
+                mol.bonds[b].order >= 2 for b in mol.adjacency[i]
+            ):
+                # only genuinely single-bonded C-N stretches; nitrile and
+                # imine nitrogens have their own bands
                 n_cn_single += 1
         elif a.symbol == "S":
             # sulfone S=O

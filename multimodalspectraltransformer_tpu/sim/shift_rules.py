@@ -136,10 +136,19 @@ def _is_nitro_n(mol: Mol, i: int) -> bool:
 
 
 def _is_ester_o(mol: Mol, i: int) -> bool:
-    """Single-bonded O whose other neighbor is a carbonyl carbon."""
-    if mol.atoms[i].symbol != "O" or mol.total_h(i) > 0:
+    """SINGLE-bonded O whose other neighbor is a carbonyl carbon (the
+    -O- of an ester/acid linkage). The carbonyl's own =O must NOT match:
+    without the order-1 check every ketone/aldehyde/amide oxygen was
+    classified as an ester O (phantom C-O bands in the IR teacher,
+    'OC=O' aromatic increments for quinone-type substituents)."""
+    a = mol.atoms[i]
+    if a.symbol != "O" or mol.total_h(i) > 0:
         return False
-    return any(_is_carbonyl_c(mol, j) for j in mol.neighbors(i))
+    for j in mol.neighbors(i):
+        b = mol.bond_between(i, j)
+        if b is not None and b.order == 1 and not b.aromatic and _is_carbonyl_c(mol, j):
+            return True
+    return False
 
 
 # ---------------------------------------------------------------------------
