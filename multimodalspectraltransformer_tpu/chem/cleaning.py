@@ -28,8 +28,8 @@ def remove_stereo(smiles: str) -> str:
 
 def passes_filters(smiles: str) -> bool:
     """Element/charge criteria of filter_invalid_criteria (`:242-253`)."""
-    if "P" in smiles and "Pt" not in smiles:  # 'P' substring check, ref-style
-        return False
+    if "P" in smiles:  # the reference's bare 'P' substring check — it has
+        return False   # NO Pt exemption, and the vocab has no 'Pt' token
     if "Si" in smiles:
         return False
     if "[B]" in smiles or _BARE_B.search(smiles):
@@ -41,10 +41,9 @@ def passes_filters(smiles: str) -> bool:
     return True
 
 
-def clean_smiles(smiles: str) -> Optional[str]:
-    """Canonicalize -> criteria filter -> de-stereo -> re-canonicalize.
-    None when invalid or filtered."""
-    can = chem.canonicalize(smiles)
+def _clean_canonical(can: Optional[str]) -> Optional[str]:
+    """Shared tail of the cleaning pipeline: criteria filter -> de-stereo
+    -> re-canonicalize. Input must already be canonical (or None)."""
     if can is None or not passes_filters(can):
         return None
     stripped = remove_stereo(can)
@@ -53,16 +52,18 @@ def clean_smiles(smiles: str) -> Optional[str]:
     return chem.canonicalize(stripped)
 
 
+def clean_smiles(smiles: str) -> Optional[str]:
+    """Canonicalize -> criteria filter -> de-stereo -> re-canonicalize.
+    None when invalid or filtered."""
+    return _clean_canonical(chem.canonicalize(smiles))
+
+
 def clean_smiles_list(smiles_list: Sequence[str]) -> list[str]:
     """Batch cleaning (the DataFrame pipeline of the reference), preserving
     order, dropping failures."""
-    canons = chem.batch_canonicalize(list(smiles_list))
     out = []
-    for can in canons:
-        if can is None or not passes_filters(can):
-            continue
-        stripped = remove_stereo(can)
-        cleaned = can if stripped == can else chem.canonicalize(stripped)
+    for can in chem.batch_canonicalize(list(smiles_list)):
+        cleaned = _clean_canonical(can)
         if cleaned is not None:
             out.append(cleaned)
     return out

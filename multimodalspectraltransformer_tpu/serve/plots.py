@@ -15,6 +15,12 @@ import numpy as np
 W, H = 640, 360
 ML, MR, MT, MB = 56, 16, 28, 42  # margins
 
+def _esc(text) -> str:
+    from xml.sax.saxutils import escape
+
+    return escape(str(text))
+
+
 _COLORS = ("#2563eb", "#dc2626")  # primary / overlay
 
 
@@ -41,9 +47,11 @@ def _axes(x0: float, x1: float, y0: float, y1: float, xlabel: str, ylabel: str,
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}" viewBox="0 0 {W} {H}">',
         f'<rect width="{W}" height="{H}" fill="white"/>',
         f'<rect x="{ML}" y="{MT}" width="{px_w}" height="{px_h}" fill="none" stroke="#aaa"/>',
-        f'<text x="{W/2}" y="{MT-10}" text-anchor="middle" font-size="13" fill="#333" font-family="sans-serif">{title}</text>',
-        f'<text x="{W/2}" y="{H-8}" text-anchor="middle" font-size="12" fill="#555" font-family="sans-serif">{xlabel}</text>',
-        f'<text x="14" y="{H/2}" text-anchor="middle" font-size="12" fill="#555" font-family="sans-serif" transform="rotate(-90 14 {H/2})">{ylabel}</text>',
+        # titles carry caller-supplied text (record SMILES / query params):
+        # XML-escape or spectra plots become an SVG-injection vector
+        f'<text x="{W/2}" y="{MT-10}" text-anchor="middle" font-size="13" fill="#333" font-family="sans-serif">{_esc(title)}</text>',
+        f'<text x="{W/2}" y="{H-8}" text-anchor="middle" font-size="12" fill="#555" font-family="sans-serif">{_esc(xlabel)}</text>',
+        f'<text x="14" y="{H/2}" text-anchor="middle" font-size="12" fill="#555" font-family="sans-serif" transform="rotate(-90 14 {H/2})">{_esc(ylabel)}</text>',
     ]
     # ticks
     for k in range(6):
@@ -68,7 +76,7 @@ def _finish(parts: list[str], legend: Optional[Sequence[str]] = None) -> str:
             y = MT + 14 + i * 16
             parts.append(f'<rect x="{W-MR-120}" y="{y-9}" width="10" height="10" fill="{_COLORS[i % 2]}"/>')
             parts.append(
-                f'<text x="{W-MR-105}" y="{y}" font-size="11" fill="#333" font-family="sans-serif">{name}</text>'
+                f'<text x="{W-MR-105}" y="{y}" font-size="11" fill="#333" font-family="sans-serif">{_esc(name)}</text>'
             )
     parts.append("</svg>")
     return "".join(parts)
@@ -128,7 +136,7 @@ def plot_1h_lorentzian(
             f'<polyline points="{" ".join(pts)}" fill="none" stroke="{_COLORS[si % 2]}" stroke-width="1.4"/>'
         )
     # faint sticks underneath for peak positions
-    stick_scale = ymax / max((v for _, v in sets[0]), default=1.0)
+    stick_scale = ymax / (max((v for _, v in sets[0]), default=1.0) or 1.0)
     for shift, inten in sets[0]:
         px, py = to_px(shift, inten * stick_scale * 0.25)
         _, py0 = to_px(shift, 0.0)
@@ -192,6 +200,7 @@ def plot_ir(
     for si, s in enumerate(sets):
         if not len(s):
             continue
+        s = np.nan_to_num(np.asarray(s, float), nan=0.0)  # NaN aborts SVG polylines
         xs = np.linspace(wn0, wn1, len(s))
         pts = []
         step = max(1, len(s) // 900)
@@ -207,22 +216,30 @@ def plot_ir(
 def plot_record(record, modality: str, overlay_record=None) -> Optional[str]:
     """Plot one modality of a data.pipeline.SampleRecord (overlay optional)."""
     o = overlay_record
-    legend = ["primary", "overlay"] if o is not None else None
+
+    def leg(over):
+        # the legend advertises two series only when the overlay is
+        # actually drawn for THIS modality
+        return ["primary", "overlay"] if over is not None else None
+
     if modality == "1H" and record.h1:
-        return plot_1d_sticks(record.h1, o.h1 if o and o.h1 else None, title=f"1H — {record.smiles}", legend=legend)
+        over = o.h1 if o and o.h1 else None
+        return plot_1d_sticks(record.h1, over, title=f"1H — {record.smiles}", legend=leg(over))
     if modality == "1H_shape" and record.h1:
-        return plot_1h_lorentzian(record.h1, o.h1 if o and o.h1 else None, title=f"1H — {record.smiles}", legend=legend)
+        over = o.h1 if o and o.h1 else None
+        return plot_1h_lorentzian(record.h1, over, title=f"1H — {record.smiles}", legend=leg(over))
     if modality == "13C" and record.c13:
         peaks = [[c, 1.0] for c in record.c13]
         over = [[c, 1.0] for c in o.c13] if o and o.c13 else None
-        return plot_1d_sticks(peaks, over, xlabel="13C shift (ppm)", title=f"13C — {record.smiles}", legend=legend)
+        return plot_1d_sticks(peaks, over, xlabel="13C shift (ppm)", title=f"13C — {record.smiles}", legend=leg(over))
     if modality == "HSQC" and record.hsqc:
         pk = [[h, c] for h, c in record.hsqc]
         over = [[h, c] for h, c in o.hsqc] if o and o.hsqc else None
-        return plot_2d_scatter(pk, over, title=f"HSQC — {record.smiles}", legend=legend)
+        return plot_2d_scatter(pk, over, title=f"HSQC — {record.smiles}", legend=leg(over))
     if modality == "COSY" and record.cosy:
         over = o.cosy if o and o.cosy else None
-        return plot_2d_scatter(record.cosy, over, ylabel="1H (ppm)", title=f"COSY — {record.smiles}", legend=legend)
+        return plot_2d_scatter(record.cosy, over, ylabel="1H (ppm)", title=f"COSY — {record.smiles}", legend=leg(over))
     if modality == "IR" and record.ir is not None:
-        return plot_ir(record.ir, o.ir if o is not None and o.ir is not None else None, title=f"IR — {record.smiles}", legend=legend)
+        over = o.ir if o is not None and o.ir is not None else None
+        return plot_ir(record.ir, over, title=f"IR — {record.smiles}", legend=leg(over))
     return None

@@ -132,9 +132,13 @@ def mol_to_svg(
         f'<rect width="{size}" height="{size}" fill="white"/>',
     ]
     if title:
+        from xml.sax.saxutils import escape
+
+        # caller-supplied (query param / SMILES) — must be XML-escaped or
+        # /api/molecule.svg is a reflected-XSS vector
         parts.append(
             f'<text x="{size/2:.1f}" y="{font + 4}" text-anchor="middle" '
-            f'font-size="{font}" fill="#555" font-family="sans-serif">{title}</text>'
+            f'font-size="{font}" fill="#555" font-family="sans-serif">{escape(title)}</text>'
         )
 
     if atom_values is not None:

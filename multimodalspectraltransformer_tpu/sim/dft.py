@@ -105,12 +105,29 @@ _SHIELDING_KEYS = (
 _ENERGY_KEYS = ("scf energy", "energy")
 
 
+def _looks_like_counts(line: str) -> bool:
+    """True when a line parses as a V2000 counts line (nnnmmm...)."""
+    try:
+        int(line[0:3])
+        int(line[3:6])
+        return True
+    except (ValueError, IndexError):
+        return False
+
+
 def parse_sdf_records(text: str) -> list[dict]:
     """Split an SDF/SD file into records: each with 'name', 'atoms'
     (element symbols), 'bonds' [(a1, a2, order)], and 'props' {tag: text}."""
     records = []
     for chunk in text.split("$$$$"):
-        lines = chunk.strip("\n").splitlines()
+        # strip only the record SEPARATOR newlines around the chunk — a
+        # blank molfile title line is legal and must keep its position or
+        # the counts line shifts and the record is silently dropped
+        lines = chunk.splitlines()
+        while lines and lines[0].strip() == "" and len(lines) > 4 and not _looks_like_counts(lines[3]):
+            lines.pop(0)
+        while lines and lines[-1].strip() == "":
+            lines.pop()
         if len(lines) < 4:
             continue
         name = lines[0].strip()
@@ -244,8 +261,9 @@ def load_acd_hsqc(path: str) -> np.ndarray:
         atom_col = header.index("F2 Atom") if "F2 Atom" in header else None
         out = []
         seen = set()
+        need = max(f2, f1, atom_col if atom_col is not None else 0)
         for r in rows[1:]:
-            if len(r) <= max(f2, f1):
+            if len(r) <= need:  # truncated row: skip, don't IndexError
                 continue
             key = (r[f2], r[f1])
             if key in seen:  # keep='last' dedup of the reference
@@ -253,7 +271,8 @@ def load_acd_hsqc(path: str) -> np.ndarray:
             seen.add(key)
             direction = -1.0 if atom_col is not None and "<" in r[atom_col] else 1.0
             out.append((float(r[f2]), float(r[f1]), direction, key))
-        return np.array([[h, c, d] for h, c, d, _ in out], dtype=np.float64)
+        arr = np.array([[h, c, d] for h, c, d, _ in out], dtype=np.float64)
+        return arr.reshape(-1, 3)  # shape (0, 3) for header-only tables
     raise ValueError("no HSQC_13C-1H property in SDF")
 
 
