@@ -37,6 +37,11 @@ def parse_args():
     p.add_argument("--n", type=int, default=1000)
     p.add_argument("--train-seed", type=int, default=11)
     p.add_argument("--train-n", type=int, default=50000)
+    p.add_argument("--extra-exclude", default="",
+                   help="additional training corpora the checkpoint has seen, "
+                        "as comma-separated 'seed:n' pairs (e.g. '11:150000'); "
+                        "a continued checkpoint must exclude EVERY corpus it "
+                        "trained on, not just the latest")
     p.add_argument("--heldout-seed", type=int, default=999)
     p.add_argument("--records-cache", default="", help="pickle of pre-simulated held-out records (skips on-chip simulation)")
     p.add_argument("--chunk-size", type=int, default=48)
@@ -90,7 +95,7 @@ def main() -> int:
     heldout_key = {
         "train_n": args.train_n, "train_seed": args.train_seed,
         "heldout_seed": args.heldout_seed, "n": args.n,
-        "mw_band": args.mw_band,
+        "mw_band": args.mw_band, "extra_exclude": args.extra_exclude,
     }
     if os.path.exists(heldout_path):
         with open(heldout_path) as f:
@@ -111,6 +116,9 @@ def main() -> int:
     else:
         t0 = time.time()
         train_set = set(molrandom.random_corpus(args.train_n, seed=args.train_seed))
+        for pair in filter(None, args.extra_exclude.split(",")):
+            xseed, xn = (int(v) for v in pair.split(":"))
+            train_set |= set(molrandom.random_corpus(xn, seed=xseed))
         if args.mw_band:
             lo, hi = (float(x) for x in args.mw_band.split(","))
             # heavier bands have a lower yield per draw: oversample harder
