@@ -149,6 +149,12 @@ def cmd_train(args) -> int:
         print(json.dumps({"error": "no records loaded"}))
         return 1
     n_val = max(1, int(len(records) * 0.1))
+    if getattr(args, "val_n", 0):
+        # a multi-100k corpus doesn't need a 10% validation split: the val
+        # pass runs through the host loader every epoch (featurization is
+        # re-paid per epoch), so an oversized split buys minutes of host
+        # time per epoch and no signal
+        n_val = min(n_val, args.val_n)
     n_train = len(records) - n_val
     if n_train < 1:
         print(json.dumps({"error": f"{len(records)} records is too few to split train/val"}))
@@ -380,6 +386,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--gen-metrics-every", type=int, default=0)
     sp.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute (fp32 master params) — ~2x step throughput")
+    sp.add_argument("--val-n", type=int, default=0,
+                    help="cap the validation split at N records (default: 10%% of the corpus)")
     sp.add_argument("--log-every", type=int, default=10,
                     help="metrics cadence; every log forces a device sync")
     sp.add_argument("--randomize-smiles", action="store_true",
