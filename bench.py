@@ -98,7 +98,8 @@ def main_e2e() -> None:
     # extras are needed to load the CLIP/simulation/ranking stages.
     params_path = os.environ.get("BENCH_PARAMS", "")
     if not params_path:
-        for name in ("mmt_r2_params.msgpack", "mmt_r2_params.msgpack.gz"):
+        for name in ("mmt_r2_params.msgpack", "mmt_r2_params.msgpack.gz",
+                     "mmt_r2_45k.msgpack.gz"):
             default_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                      "weights", name)
             if os.path.exists(default_w):
