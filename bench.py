@@ -99,7 +99,7 @@ def main_e2e() -> None:
     params_path = os.environ.get("BENCH_PARAMS", "")
     if not params_path:
         for name in ("mmt_r2_params.msgpack", "mmt_r2_params.msgpack.gz",
-                     "mmt_r2_45k.msgpack.gz"):
+                     "mmt_r2_70k.msgpack.gz", "mmt_r2_45k.msgpack.gz"):
             default_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                      "weights", name)
             if os.path.exists(default_w):
