@@ -97,7 +97,9 @@ def main_e2e() -> None:
     # The model's own sampling then provides the candidates, so no injected
     # extras are needed to load the CLIP/simulation/ranking stages.
     params_path = os.environ.get("BENCH_PARAMS", "")
-    if not params_path:
+    if params_path.lower() in ("none", "untrained"):
+        params_path = ""
+    elif not params_path:
         for name in ("mmt_r2_params.msgpack", "mmt_r2_params.msgpack.gz",
                      "mmt_r2_70k.msgpack.gz", "mmt_r2_45k.msgpack.gz"):
             default_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
