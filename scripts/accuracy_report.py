@@ -347,7 +347,7 @@ def main() -> int:
         "",
         "The reference numbers are its own simulated-data regime (SGNN-trained",
         "spectra of ZINC molecules); ours is the equivalent closed loop on the",
-        "first-party factory (additivity-rule-distilled GNN spectra of generated",
+        "first-party factory (rule-teacher-distilled GNN spectra of generated",
         "drug-like molecules). Both measure the same thing: can the model invert",
         "its own simulator's spectra back to the structure.",
     ]
