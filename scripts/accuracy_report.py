@@ -148,10 +148,12 @@ def main() -> int:
     )
 
     t0 = time.time()
-    if args.records_cache and os.path.exists(args.records_cache):
-        import pickle
+    import gzip
+    import pickle
 
-        with open(args.records_cache, "rb") as f:
+    _copen = gzip.open if args.records_cache.endswith(".gz") else open
+    if args.records_cache and os.path.exists(args.records_cache):
+        with _copen(args.records_cache, "rb") as f:
             records = pickle.load(f)
         keep = set(heldout)
         records = [r for r in records if r.smiles in keep][: args.n]
@@ -159,9 +161,7 @@ def main() -> int:
     else:
         records = factory.simulate_records(heldout)
         if args.records_cache:
-            import pickle
-
-            with open(args.records_cache, "wb") as f:
+            with _copen(args.records_cache, "wb") as f:
                 pickle.dump(records, f)
     print(f"[acc] records ready: {len(records)} in {time.time()-t0:.0f}s", flush=True)
 
