@@ -144,16 +144,24 @@ def _bare_bond_order_sum(mol: Mol, i: int) -> float:
     a = mol.atoms[i]
     total = 0.0
     n_arom = 0
+    has_exo_double = False
     for bi in mol.adjacency[i]:
         b = mol.bonds[bi]
         if b.aromatic:
             n_arom += 1
         else:
             total += b.order
+            if b.order == 2:
+                has_exo_double = True
     if n_arom:
         if a.aromatic and a.symbol in ("O", "S", "Se", "Te"):
             total += n_arom
         elif a.aromatic and a.symbol in ("N", "P") and mol.degree(i) == 3:
+            total += n_arom
+        elif a.aromatic and has_exo_double:
+            # exocyclic double bond carries the pi electron (pyridinone
+            # c(=O) etc.) — ring bonds count single; mirrors
+            # Mol.bond_order_sum
             total += n_arom
         else:
             total += n_arom + 1

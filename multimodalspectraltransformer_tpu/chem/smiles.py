@@ -110,12 +110,15 @@ class Mol:
         a = self.atoms[i]
         total = 0.0
         n_arom = 0
+        has_exo_double = False
         for bi in self.adjacency[i]:
             b = self.bonds[bi]
             if b.aromatic:
                 n_arom += 1
             else:
                 total += b.order
+                if b.order == 2:
+                    has_exo_double = True
         if n_arom:
             if a.aromatic and a.symbol in ("O", "S", "Se", "Te"):
                 # aromatic o/s donate a lone pair: both ring bonds count 1
@@ -125,6 +128,12 @@ class Mol:
             ):
                 # pyrrole-type n ([nH] or 3-connected n): lone pair is the
                 # aromatic contribution, ring bonds count single
+                total += n_arom
+            elif a.aromatic and has_exo_double:
+                # aromatic atom with an exocyclic double bond (pyridinone
+                # c(=O), 2H-tautomer c(=N)): the pi electron lives in that
+                # exocyclic bond, so every ring bond counts single — the
+                # Daylight reading RDKit accepts for O=c1cccc[nH]1 etc.
                 total += n_arom
             else:
                 # one of the aromatic bonds carries the extra pi electron

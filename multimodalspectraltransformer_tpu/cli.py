@@ -141,6 +141,9 @@ def cmd_train(args) -> int:
             learning_rate=args.lr, num_epochs=args.epochs,
             save_interval_steps=args.save_every,
             mixed_precision=getattr(args, "bf16", False),
+            blank_percentage=getattr(args, "blank", 0.0),
+            jitter_1h_ppm=getattr(args, "jitter_1h", 0.0),
+            jitter_13c_ppm=getattr(args, "jitter_13c", 0.0),
         ),
         data=DataConfig(batch_size=args.batch_size),
     )
@@ -164,7 +167,7 @@ def cmd_train(args) -> int:
     train_records = records[:-n_val]
     augment = getattr(args, "augment", 1)
     opts = FeaturizeOptions(
-        blank_percentage=getattr(args, "blank", 0.0),
+        blank_percentage=getattr(args, "blank_host", 0.0),
         randomize_smiles=getattr(args, "randomize_smiles", False),
         use_given_smiles_form=augment > 1,
     )
@@ -395,7 +398,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--augment", type=int, default=1,
                     help="pre-expanded SMILES-variant augmentation factor (deterministic; keeps the HBM-resident dataset path)")
     sp.add_argument("--blank", type=float, default=0.0,
-                    help="random modality blanking percentage (reference blank_percentage)")
+                    help="random modality blanking percentage (reference "
+                         "blank_percentage), applied ON DEVICE per batch — "
+                         "keeps the HBM-resident dataset path")
+    sp.add_argument("--jitter-1h", type=float, default=0.0,
+                    help="device-side per-peak 1H ppm jitter sigma (sim2real "
+                         "domain randomization; half the samples per batch)")
+    sp.add_argument("--jitter-13c", type=float, default=0.0,
+                    help="device-side per-peak 13C ppm jitter sigma")
+    sp.add_argument("--blank-host", type=float, default=0.0,
+                    help="legacy host-side blanking during featurization "
+                         "(stochastic featurization; forces the slow host "
+                         "data path — prefer --blank)")
     sp.add_argument("--feature-cache", default="",
                     help="directory for the featurized-dataset disk cache "
                          "(sets MMT_FEATURE_CACHE; skips the multi-minute host "

@@ -144,6 +144,71 @@ def load_spectra_csvs(
     return records
 
 
+def load_reference_testset(
+    csv_13c: str = "",
+    csv_hsqc: str = "",
+    csv_cosy: str = "",
+    csv_1h: str = "",
+    limit: int = 0,
+) -> list[SampleRecord]:
+    """Load the reference's SHIPPED held-out test sets: headerless CSVs of
+    ``SMILES,"[data]",sample-id`` rows, one file per modality over the same
+    molecules (`MMT_website/Runfolder/CSV_files/ML_NMR_5M_XL_{13C,HSQC,COSY}
+    _test_10x100.csv` + `ML_NMR_1H_combined_ZINC_test_10x100.csv` — 1000
+    ZINC molecules, 250-350 Da, with SGNN-simulated spectra).
+
+    Per-modality payloads: 13C a flat shift list, HSQC ``[H, C]`` pairs,
+    COSY ``(H, H)`` tuples, 1H ``(ppm, relative-intensity)`` peaks — all
+    ``ast.literal_eval``-able; tuples are normalized to the list-of-lists
+    form :func:`featurize` consumes. Records are joined by sample id."""
+    import csv as _csv
+
+    tables: dict[str, dict] = {}
+    for key, path in (
+        ("1H", csv_1h), ("13C", csv_13c), ("HSQC", csv_hsqc), ("COSY", csv_cosy)
+    ):
+        if not path:
+            continue
+        t: dict = {}
+        with open(path, newline="") as f:
+            for row in _csv.reader(f):
+                if len(row) < 3:
+                    continue
+                smi, data, sid = row[0].strip(), row[1], row[2].strip()
+                try:
+                    parsed = _parse_shifts(data)
+                except (ValueError, SyntaxError):
+                    continue
+                if key != "13C":
+                    parsed = [list(p) for p in parsed]
+                t[sid] = (smi, parsed)
+        tables[key] = t
+
+    ids: list[str] = []
+    seen: set = set()
+    for t in tables.values():
+        for sid in t:
+            if sid not in seen:
+                seen.add(sid)
+                ids.append(sid)
+    if limit:
+        ids = ids[:limit]
+
+    records = []
+    for sid in ids:
+        smiles = None
+        fields: dict = {}
+        for key, attr in (("1H", "h1"), ("13C", "c13"), ("HSQC", "hsqc"), ("COSY", "cosy")):
+            if key in tables and sid in tables[key]:
+                smi, data = tables[key][sid]
+                smiles = smiles or smi
+                fields[attr] = data
+        if smiles is None:
+            continue
+        records.append(SampleRecord(sid, smiles, **fields))
+    return records
+
+
 def bin_ir(raw: np.ndarray, bins: int) -> np.ndarray:
     """Mean-bin + max-normalize (reference `_load_IR_data`, `:324-346`).
 
@@ -490,34 +555,18 @@ class Loader:
         kept = z["kept_idx"] if "kept_idx" in z.files else None  # legacy: identity
         return TrainBatch(inputs, z["trg_tokens"], z["trg_fp"]), kept
 
-    def device_dataset(self, max_bytes: Optional[int] = None):
-        """One TrainBatch holding every featurizable record, device_put.
-
-        Returns None when featurization is stochastic (augmentation needs
-        fresh host features each epoch) or the dataset exceeds
-        ``max_bytes`` (default 6 GiB — v5e HBM is 16 GiB and the full model
-        + optimizer take ~1.5 GiB; override with MMT_DEVICE_DATASET_GB).
-        Cached after the first call. Falling back to the host loader is an
-        ~8x training slowdown on the tunneled backend, so every fallback
-        prints its reason.
-
-        Set ``MMT_FEATURE_CACHE=<dir>`` to also persist the featurized
-        arrays to disk, keyed by :meth:`features_digest` — host
-        featurization of a multi-100k-record corpus costs tens of minutes
-        of chemistry; reloading the cached ``.npz`` takes seconds. The
-        cache is only written when EVERY record featurized (the only case
-        this method returns the dataset), so a hit implies full coverage."""
-        if max_bytes is None:
-            max_bytes = int(float(os.environ.get("MMT_DEVICE_DATASET_GB", "6")) * (1 << 30))
+    def _featurize_all(self, max_bytes: int):
+        """Featurize every record to one host-side TrainBatch (with the
+        MMT_FEATURE_CACHE disk cache); shared by :meth:`device_dataset`
+        and :meth:`device_dataset_sharded`. Returns (big, kept_idx) or
+        None on fallback (stochastic featurization / size cap), printing
+        the reason."""
         if self._stochastic():
             print(
                 "device_dataset: featurization is stochastic (per-epoch SMILES "
                 "randomization / blanking / noise); falling back to the host loader"
             )
             return None
-        cached = getattr(self, "_device_dataset", None)
-        if cached is not None:
-            return cached
 
         cache_dir = os.environ.get("MMT_FEATURE_CACHE", "")
         cache_path = None
@@ -590,9 +639,114 @@ class Loader:
         # every record featurized; legacy caches without kept_idx imply it)
         if kept_idx is None:
             kept_idx = np.arange(len(self.records), dtype=np.int64)
+        return big, kept_idx
+
+    def device_dataset(self, max_bytes: Optional[int] = None):
+        """One TrainBatch holding every featurizable record, device_put.
+
+        Returns None when featurization is stochastic (augmentation needs
+        fresh host features each epoch) or the dataset exceeds
+        ``max_bytes`` (default 6 GiB — v5e HBM is 16 GiB and the full model
+        + optimizer take ~1.5 GiB; override with MMT_DEVICE_DATASET_GB).
+        Cached after the first call. Falling back to the host loader is an
+        ~8x training slowdown on the tunneled backend, so every fallback
+        prints its reason.
+
+        Set ``MMT_FEATURE_CACHE=<dir>`` to also persist the featurized
+        arrays to disk, keyed by :meth:`features_digest` — host
+        featurization of a multi-100k-record corpus costs tens of minutes
+        of chemistry; reloading the cached ``.npz`` takes seconds. The
+        cache is only written when EVERY record featurized (the only case
+        this method returns the dataset), so a hit implies full coverage."""
+        if max_bytes is None:
+            max_bytes = int(float(os.environ.get("MMT_DEVICE_DATASET_GB", "6")) * (1 << 30))
+        cached = getattr(self, "_device_dataset", None)
+        if cached is not None:
+            return cached
+        out = self._featurize_all(max_bytes)
+        if out is None:
+            return None
+        big, kept_idx = out
         self._device_kept_smiles = [self.records[int(i)].smiles for i in kept_idx]
         self._device_dataset = jax.tree_util.tree_map(jnp.asarray, big)
         return self._device_dataset
+
+    def device_dataset_sharded(self, mesh, max_bytes: Optional[int] = None):
+        """The multi-device ``device_dataset``: the featurized corpus is
+        PARTITIONED row-wise over the mesh's data-parallel axes — shard d
+        holds rows ``[d*Rl, (d+1)*Rl)`` in its own HBM — and each training
+        batch is assembled by a shard-LOCAL gather (:func:`sharded_gather_fn`,
+        a ``shard_map`` with zero collectives). This lifts the old
+        device_data-vs-mesh restriction that silently dropped multi-chip
+        runs to the ~8x-slower host loader.
+
+        Sampling semantics are the DistributedSampler equivalent (SURVEY
+        §5.8): each shard draws its sub-batch from its own partition with
+        the Loader's ordering strategy (per-shard seed), exactly like the
+        multi-host ``_host_slice`` path. ``max_bytes`` caps the PER-SHARD
+        bytes (each chip stores only its partition). Rows beyond a multiple
+        of the shard count are dropped (< one row per shard)."""
+        from .. import parallel
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if max_bytes is None:
+            max_bytes = int(float(os.environ.get("MMT_DEVICE_DATASET_GB", "6")) * (1 << 30))
+        ext = parallel.data_extent(mesh)
+        cached = getattr(self, "_device_dataset_sharded", None)
+        if cached is not None and getattr(self, "_device_shard_extent", None) == ext:
+            return cached
+        out = self._featurize_all(max_bytes * ext)
+        if out is None:
+            return None
+        big, kept_idx = out
+        R = big.trg_tokens.shape[0]
+        Rl = R // ext
+        if Rl == 0:
+            print("device_dataset_sharded: fewer rows than shards; host loader")
+            return None
+        if R % ext:
+            big = jax.tree_util.tree_map(lambda x: x[: Rl * ext], big)
+            kept_idx = kept_idx[: Rl * ext]
+        axes = ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
+        sharding = NamedSharding(mesh, PartitionSpec(axes))
+        self._device_kept_smiles = [self.records[int(i)].smiles for i in kept_idx]
+        self._device_shard_extent = ext
+        self._device_dataset_sharded = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), big
+        )
+        return self._device_dataset_sharded
+
+    def epoch_row_batches_sharded(self, epoch: int, n_shards: int) -> Iterator[np.ndarray]:
+        """Per-batch LOCAL row-index arrays for the sharded dataset: the
+        returned ``[batch_size]`` vector's segment d holds
+        ``batch_size/n_shards`` indices in ``[0, R_local)`` drawn from
+        shard d's partition by the Loader's ordering strategy (per-shard
+        seed) — feed it (batch-sharded) to :func:`sharded_gather_fn`."""
+        from . import samplers
+
+        smiles = getattr(self, "_device_kept_smiles", None)
+        assert smiles is not None, "call device_dataset_sharded() first"
+        assert self.batch_size % n_shards == 0, (
+            f"batch {self.batch_size} not divisible by {n_shards} shards"
+        )
+        bs_local = self.batch_size // n_shards
+        Rl = len(smiles) // n_shards
+        orders = []
+        for d in range(n_shards):
+            part = smiles[d * Rl : (d + 1) * Rl]
+            orders.append(
+                samplers.epoch_order(
+                    self.order_strategy, part, bs_local,
+                    self.seed * 1_000_003 + d, epoch,
+                )
+            )
+        n_batches = Rl // bs_local
+        for i in range(n_batches):
+            segs = [
+                np.asarray(o[i * bs_local : (i + 1) * bs_local], np.int32)
+                for o in orders
+            ]
+            yield np.concatenate(segs)
 
     def epoch_row_batches(self, epoch: int) -> Iterator[np.ndarray]:
         """Per-batch row-index arrays into device_dataset(), using the same
@@ -618,6 +772,34 @@ class Loader:
 def gather_rows(dataset, idx: jax.Array):
     """On-device batch assembly: rows `idx` of every dataset leaf."""
     return jax.tree_util.tree_map(lambda x: x[idx], dataset)
+
+
+def sharded_gather_fn(mesh):
+    """Compiled shard-LOCAL batch assembly for
+    :meth:`Loader.device_dataset_sharded`: every shard gathers its
+    sub-batch from its OWN partition (``shard_map`` over the data-parallel
+    axes — by construction no cross-shard indices exist, so XLA emits a
+    plain local dynamic-gather, zero collectives; a global gather over a
+    sharded operand would have all-gathered the index space every step).
+    Returns ``f(dataset, idx)`` where ``idx`` comes from
+    :meth:`Loader.epoch_row_batches_sharded` (batch-sharded)."""
+    from jax.sharding import PartitionSpec
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # moved in newer jax
+        from jax.sharding import shard_map  # type: ignore
+
+    axes = ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
+    spec = PartitionSpec(axes)
+
+    def local_gather(data, idx):
+        return jax.tree_util.tree_map(lambda x: x[idx], data)
+
+    f = shard_map(
+        local_gather, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_rep=False,
+    )
+    return jax.jit(f)
 
 
 # --------------------------------------------------------------------------

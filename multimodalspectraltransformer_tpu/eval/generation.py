@@ -141,52 +141,103 @@ def generate_candidates_batch(
             compute_dtype=compute_dtype,
         )
 
-    def dispatch(round_idx: int):
+    # Round-shrink (DecodeConfig.round_shrink): escalation rounds regather
+    # only the still-unsatisfied molecules into one of THREE static widths
+    # {ceil(B/4), ceil(B/2), B} — the fan-out decode is the FLOP-dominant
+    # stage and rounds are batch-synchronized, so full-width rounds paid
+    # the whole 6144-lane decode for lanes whose results were discarded
+    # (on the trained checkpoint ~45% of molecules need round 1, ~11% run
+    # all rounds). Three widths keep the executable count bounded; the
+    # narrow batch is built by one device-side row gather of the encoder
+    # memory. Disabled when memory is sharded over >1 device (a narrow
+    # gather would fight the GSPMD batch partitioning).
+    shard = getattr(memory, "sharding", None)
+    try:
+        multi_device = shard is not None and len(shard.device_set) > 1
+    except Exception:  # non-jax arrays in tests
+        multi_device = False
+    shrink = dcfg.round_shrink and not multi_device and B > 1
+    identity = list(range(B))
+
+    def _width(n: int) -> int:
+        if not shrink:
+            return B
+        for w in (max(1, (B + 3) // 4), max(1, (B + 1) // 2), B):
+            if n <= w:
+                return w
+        return B
+
+    def dispatch(round_idx: int, idxs: list):
+        W = _width(len(idxs))
+        lanes = idxs + [idxs[-1]] * (W - len(idxs))
+        if lanes == identity:
+            mem, kpm = memory, memory_kpm
+        else:
+            ia = jnp.asarray(lanes, jnp.int32)
+            mem, kpm = memory[ia], memory_kpm[ia]
         # one lane-temp VECTOR (not scalar) so the executable is shared with
         # the non-pipelined per-molecule-escalation variant below
         t = dcfg.temperature + round_idx * dcfg.temp_increment
-        lane_temp = jnp.full((B * F, 1), t, jnp.float32)
-        return samplers.multinomial_decode(
-            params, mcfg, memory, memory_kpm,
+        lane_temp = jnp.full((W * F, 1), t, jnp.float32)
+        res = samplers.multinomial_decode(
+            params, mcfg, mem, kpm,
             jax.random.fold_in(rng, round_idx), lane_temp,
             dcfg.max_len, fanout=F, compute_dtype=compute_dtype,
         )
+        return res, lanes
 
-    pending = dispatch(0)
+    active = list(range(B))
+    pending, pend_lanes = dispatch(0, active)
     for round_idx in range(dcfg.max_temp_rounds):
         # lookahead starts at round 1: a trained model usually satisfies
         # every molecule in round 0, and an eagerly dispatched round 1
         # would serialize a full wasted fan-out decode ahead of the
         # harness's CLIP dispatch. Cost of the deferral: the round-0 host
         # filter no longer overlaps round 1's decode when escalation IS
-        # needed (one filter pass, ~100 ms).
+        # needed (one filter pass, ~100 ms). The lookahead round is
+        # dispatched over the PRE-filter active set — a superset of the
+        # molecules that will consume it — so its width lags the shrink
+        # by at most one round (bounded waste, zero lost results).
         if dcfg.lookahead and 1 <= round_idx < dcfg.max_temp_rounds - 1:
-            nxt = dispatch(round_idx + 1)  # in flight while we filter round k
+            nxt = dispatch(round_idx + 1, active)  # in flight while filtering
         else:
             nxt = None
-        tokens = np.asarray(pending.tokens).reshape(B, F, -1)
-        probs = np.asarray(pending.token_probs).reshape(B, F, -1)
-        # one batched canonicalize over every lane (native C++, threaded)
-        flat_smiles = [vocab.ids_to_smiles(r) for r in tokens.reshape(B * F, -1)]
-        canons = chem.batch_canonicalize(flat_smiles)
-        all_done = True
-        for b in range(B):
+        W = len(pend_lanes)
+        tokens = np.asarray(pending.tokens).reshape(W, F, -1)
+        probs = np.asarray(pending.token_probs).reshape(W, F, -1)
+        # consume each unsatisfied molecule's first lane-row (pad rows
+        # repeat the last molecule; satisfied molecules' rows are discarded)
+        consume: list[tuple[int, int]] = []
+        seen_rows: set = set()
+        for j, b in enumerate(pend_lanes):
+            if b in seen_rows:
+                continue
+            seen_rows.add(b)
             if len(outs[b].smiles) >= want:
                 continue
+            consume.append((j, b))
+        # one batched canonicalize over the consumed lanes only (native
+        # C++, threaded) — discarded/pad lanes skip host chemistry too
+        flat_smiles = [
+            vocab.ids_to_smiles(r) for j, _ in consume for r in tokens[j]
+        ]
+        canons = chem.batch_canonicalize(flat_smiles)
+        for ci, (j, b) in enumerate(consume):
             _filter_block(
-                tokens[b], probs[b],
+                tokens[j], probs[j],
                 (target_mws[b] if target_mws is not None else None) if dcfg.mw_filter else None,
                 dcfg.mw_delta, seens[b], outs[b], want,
-                canons=canons[b * F : (b + 1) * F],
+                canons=canons[ci * F : (ci + 1) * F],
             )
             outs[b].rounds_used = round_idx + 1
-            if len(outs[b].smiles) < want:
-                all_done = False
-        if all_done:
+        active = [b for b in range(B) if len(outs[b].smiles) < want]
+        if not active:
             break
         if nxt is None and round_idx + 1 < dcfg.max_temp_rounds:
-            nxt = dispatch(round_idx + 1)
-        pending = nxt
+            nxt = dispatch(round_idx + 1, active)
+        if nxt is None:
+            break  # round budget exhausted with molecules still unsatisfied
+        pending, pend_lanes = nxt
 
     if beam_pending is not None:
         K = dcfg.beam_candidates

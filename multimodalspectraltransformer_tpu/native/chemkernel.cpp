@@ -185,12 +185,16 @@ struct Mol {
     const Atom& a = atoms[i];
     double total = 0.0;
     int n_arom = 0;
+    bool has_exo_double = false;
     for (int bi : adjacency[i]) {
       const Bond& b = bonds[bi];
-      if (b.aromatic)
+      if (b.aromatic) {
         n_arom++;
-      else
+      } else {
         total += b.order;
+        if (b.order == 2.0)
+          has_exo_double = true;
+      }
     }
     if (n_arom) {
       bool os_like = a.symbol == "O" || a.symbol == "S" || a.symbol == "Se" ||
@@ -200,6 +204,9 @@ struct Mol {
         total += n_arom;
       } else if (a.aromatic && np_like &&
                  (a.explicit_h > 0 || degree(i) == 3)) {
+        total += n_arom;
+      } else if (a.aromatic && has_exo_double) {
+        // exocyclic double bond carries the pi electron (pyridinone c(=O))
         total += n_arom;
       } else {
         total += n_arom + 1;
@@ -679,12 +686,16 @@ static double bare_bond_order_sum(const Mol& mol, int i) {
   const Atom& a = mol.atoms[i];
   double total = 0.0;
   int n_arom = 0;
+  bool has_exo_double = false;
   for (int bi : mol.adjacency[i]) {
     const Bond& b = mol.bonds[bi];
-    if (b.aromatic)
+    if (b.aromatic) {
       n_arom++;
-    else
+    } else {
       total += b.order;
+      if (b.order == 2.0)
+        has_exo_double = true;
+    }
   }
   if (n_arom) {
     bool os_like = a.symbol == "O" || a.symbol == "S" || a.symbol == "Se" ||
@@ -693,6 +704,9 @@ static double bare_bond_order_sum(const Mol& mol, int i) {
     if (a.aromatic && os_like) {
       total += n_arom;
     } else if (a.aromatic && np_like && mol.degree(i) == 3) {
+      total += n_arom;
+    } else if (a.aromatic && has_exo_double) {
+      // exocyclic double bond carries the pi electron (pyridinone c(=O))
       total += n_arom;
     } else {
       total += n_arom + 1;

@@ -34,7 +34,7 @@ from ..utils import vocab
 from ..utils.config import MMTConfig
 from . import checkpoint as ckpt_mod
 from .state import TrainState, create_state, update_plateau
-from .step import eval_step, train_step
+from .step import blank_modalities_device, eval_step, train_step
 
 
 class MetricsLogger:
@@ -160,15 +160,29 @@ def run_training(
         put_batch = lambda b: jax.tree.map(jnp.asarray, b)
 
     dd = None
-    # device-dataset path requires mesh is None: gather_rows batches live
-    # unsharded on the default device, so sharded params would consume an
-    # unsharded batch (implicit transfers / layout surprises)
-    if device_data and mesh is not None:
-        raise ValueError("device_data=True is incompatible with a mesh; use the host loader")
-    if (device_data or (device_data is None and mesh is None)) and hasattr(
-        train_loader, "device_dataset"
-    ):
-        dd = train_loader.device_dataset()
+    gather = None
+    n_shards = 1
+    if device_data or device_data is None:
+        if mesh is None and hasattr(train_loader, "device_dataset"):
+            dd = train_loader.device_dataset()
+        elif mesh is not None and hasattr(train_loader, "device_dataset_sharded"):
+            # multi-device fast path: corpus partitioned row-wise over the
+            # mesh's data axes, batches assembled by shard-LOCAL gathers
+            # (data/pipeline.sharded_gather_fn — zero collectives); keeps
+            # the ~8x data-path win the host loader loses
+            from .. import parallel as par_mod
+            from ..data import pipeline as dp_mod
+
+            n_shards = par_mod.data_extent(mesh)
+            if train_loader.batch_size % n_shards == 0:
+                dd = train_loader.device_dataset_sharded(mesh)
+                if dd is not None:
+                    gather = dp_mod.sharded_gather_fn(mesh)
+            else:
+                print(
+                    f"run_training: batch {train_loader.batch_size} not divisible "
+                    f"by {n_shards} data shards; host loader"
+                )
 
     state = create_state(cfg.train, params)
     manager = None
@@ -203,7 +217,13 @@ def run_training(
         for epoch in range(start_epoch, cfg.train.num_epochs):
             if done:
                 break
-            if dd is not None:
+            if dd is not None and gather is not None:
+                bsh = batch_sharding(mesh)
+                batch_iter = (
+                    gather(dd, jax.device_put(jnp.asarray(idx), bsh))
+                    for idx in train_loader.epoch_row_batches_sharded(epoch, n_shards)
+                )
+            elif dd is not None:
                 from ..data import pipeline as dp_mod
 
                 batch_iter = (
@@ -214,6 +234,23 @@ def run_training(
                 batch_iter = _prefetch(train_loader.epoch(epoch), put_batch)
             last_m = None
             for b in batch_iter:
+                if cfg.train.jitter_1h_ppm > 0 or cfg.train.jitter_13c_ppm > 0:
+                    from .step import jitter_spectra_device
+
+                    b = jitter_spectra_device(
+                        b,
+                        jax.random.fold_in(jax.random.fold_in(rng, 0x7E77), step_count),
+                        cfg.train.jitter_1h_ppm, cfg.train.jitter_13c_ppm,
+                        cfg.train.jitter_gate_p,
+                    )
+                if cfg.train.blank_percentage > 0:
+                    # stochastic modality blanking as a device op (keeps the
+                    # deterministic HBM-resident dataset path)
+                    b = blank_modalities_device(
+                        b,
+                        jax.random.fold_in(jax.random.fold_in(rng, 0x5BD1), step_count),
+                        cfg.train.blank_percentage,
+                    )
                 state, m = train_step(model, cfg, state, b, rng)
                 last_m = m
                 step_count += 1

@@ -38,6 +38,111 @@ class TrainBatch(NamedTuple):
     trg_fp: Array  # [B, 512]
 
 
+@partial(jax.jit, static_argnames=("p",))
+def blank_modalities_device(batch: TrainBatch, rng: jax.Array, p: float) -> TrainBatch:
+    """Random per-sample modality blanking ON DEVICE (reference
+    ``blank_percentage``, `dataloaders_pl_v15_4.py:597-626`: each present
+    modality independently blanked with probability p; when everything got
+    blanked, 1H + 13C are restored).
+
+    TPU-first: the reference (and our host loader) blanks during
+    featurization, which makes featurization stochastic and forces the
+    ~8x-slower host data path. Here featurization stays deterministic — the
+    whole corpus lives in HBM (`Loader.device_dataset`) — and the stochastic
+    augmentation is a jitted elementwise transform on each gathered batch:
+    zero host cost, exact blank semantics (src -> zeros, mask -> all-pad,
+    matching what `featurize` emits for absent modalities, so eval-time
+    missing modalities look exactly like train-time blanked ones)."""
+    inp = batch.inputs
+    B = inp.mw.shape[0]
+    present = jnp.stack(
+        [
+            (inp.mask_1h == 0).any(axis=1),
+            (inp.mask_13c == 0).any(axis=1),
+            (inp.mask_hsqc == 0).any(axis=1),
+            (inp.mask_cosy == 0).any(axis=1),
+            (inp.src_ir != 0).any(axis=1),
+        ],
+        axis=1,
+    )  # [B, 5]
+    drop = jax.random.uniform(rng, (B, 5)) < p
+    keep = present & ~drop
+    none_kept = ~keep.any(axis=1)
+    # all-blanked fallback: restore 1H + 13C (where present)
+    keep = keep.at[:, 0].set(jnp.where(none_kept, present[:, 0], keep[:, 0]))
+    keep = keep.at[:, 1].set(jnp.where(none_kept, present[:, 1], keep[:, 1]))
+
+    def _apply(src, mask, k):
+        kk = k.reshape((B,) + (1,) * (src.ndim - 1))
+        return (
+            src * kk.astype(src.dtype),
+            jnp.where(k[:, None], mask, jnp.ones_like(mask)),
+        )
+
+    s1h, m1h = _apply(inp.src_1h, inp.mask_1h, keep[:, 0])
+    s13c, m13c = _apply(inp.src_13c, inp.mask_13c, keep[:, 1])
+    shsqc, mhsqc = _apply(inp.src_hsqc, inp.mask_hsqc, keep[:, 2])
+    scosy, mcosy = _apply(inp.src_cosy, inp.mask_cosy, keep[:, 3])
+    sir = inp.src_ir * keep[:, 4][:, None].astype(inp.src_ir.dtype)
+    return batch._replace(
+        inputs=inp._replace(
+            src_1h=s1h, mask_1h=m1h,
+            src_13c=s13c, mask_13c=m13c,
+            src_hsqc=shsqc, mask_hsqc=mhsqc,
+            src_cosy=scosy, mask_cosy=mcosy,
+            src_ir=sir,
+        )
+    )
+
+
+@partial(jax.jit, static_argnames=("sigma_h", "sigma_c", "gate_p"))
+def jitter_spectra_device(
+    batch: TrainBatch,
+    rng: jax.Array,
+    sigma_h: float = 0.2,
+    sigma_c: float = 3.0,
+    gate_p: float = 0.5,
+) -> TrainBatch:
+    """Per-peak Gaussian jitter of the NMR coordinates, ON DEVICE — the
+    sim2real domain-randomization knob. Measured motivation: the shipped
+    reference test spectra (SGNN-simulated) disagree with our distilled-GNN
+    factory by ~3 ppm 13C / ~0.2 ppm 1H nearest-peak MAE, while training
+    spectra are self-consistent to <0.1 ppm — a model trained only on sharp
+    spectra treats simulator disagreement as out-of-distribution. Sigmas
+    are in ppm (divided by the 10/200 normalization internally); each
+    SAMPLE is jittered with probability ``gate_p`` so clean spectra remain
+    in-distribution too. Padded slots stay exactly zero."""
+    inp = batch.inputs
+    B = inp.mw.shape[0]
+    ks = jax.random.split(rng, 6)
+    gate = (jax.random.uniform(ks[0], (B,)) < gate_p).astype(inp.src_1h.dtype)
+    sh, sc = sigma_h / 10.0, sigma_c / 200.0
+
+    def noise(k, shape, sigma):
+        return jax.random.normal(k, shape) * sigma
+
+    live = lambda mask: (mask == 0).astype(inp.src_1h.dtype)
+    g1 = gate[:, None]
+    g2 = gate[:, None, None]
+    # 1H: jitter ppm (dim 0) only; intensity carries multiplet structure
+    n1h = jnp.stack(
+        [noise(ks[1], inp.src_1h.shape[:2], sh), jnp.zeros(inp.src_1h.shape[:2])],
+        axis=-1,
+    )
+    s1h = inp.src_1h + n1h * live(inp.mask_1h)[..., None] * g2
+    s13c = inp.src_13c + noise(ks[2], inp.src_13c.shape, sc) * live(inp.mask_13c) * g1
+    nhsqc = jnp.stack(
+        [noise(ks[3], inp.src_hsqc.shape[:2], sh), noise(ks[4], inp.src_hsqc.shape[:2], sc)],
+        axis=-1,
+    )
+    shsqc = inp.src_hsqc + nhsqc * live(inp.mask_hsqc)[..., None] * g2
+    ncosy = noise(ks[5], inp.src_cosy.shape, sh)
+    scosy = inp.src_cosy + ncosy * live(inp.mask_cosy)[..., None] * g2
+    return batch._replace(
+        inputs=inp._replace(src_1h=s1h, src_13c=s13c, src_hsqc=shsqc, src_cosy=scosy)
+    )
+
+
 def loss_fn(params, model: MultimodalTransformer, cfg: MMTConfig, batch: TrainBatch, rng):
     if cfg.train.mixed_precision and cfg.model.dtype != "bfloat16":
         # bf16 forward/backward: rebuild the model with bfloat16 COMPUTE

@@ -246,6 +246,18 @@ class TrainConfig:
     gen_smi_sequence: bool = False  # in-training sequence generation metrics
     sgnn_feedback: bool = False
 
+    # device-side per-sample modality blanking probability (reference
+    # blank_percentage applied as a jitted batch transform instead of
+    # stochastic host featurization — keeps the HBM-resident dataset path;
+    # train/step.blank_modalities_device)
+    blank_percentage: float = 0.0
+
+    # device-side per-peak ppm jitter (sim2real domain randomization for
+    # simulator disagreement; train/step.jitter_spectra_device). 0 = off.
+    jitter_1h_ppm: float = 0.0
+    jitter_13c_ppm: float = 0.0
+    jitter_gate_p: float = 0.5  # fraction of samples jittered per batch
+
     checkpoint_dir: str = "checkpoints"
     save_interval_steps: int = 1000
     keep_checkpoints: int = 3
@@ -306,6 +318,14 @@ class DecodeConfig:
     # overlaps device decode with host chemistry (see
     # eval.generation.generate_candidates_batch for why this is lossless)
     lookahead: bool = True
+    # after round 0, regather only the still-unsatisfied molecules into a
+    # half/quarter-width compiled round (3 static widths total): escalation
+    # rounds are batch-synchronized, and on a trained model ~45% of
+    # molecules need round 1 and ~11% run all rounds — full-width rounds
+    # paid the whole fan-out decode for lanes whose results were discarded.
+    # Auto-disabled when the encoder memory is sharded over >1 device (the
+    # narrow gather would fight the GSPMD batch partitioning).
+    round_shrink: bool = True
 
 
 @dataclass(frozen=True)

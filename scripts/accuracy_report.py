@@ -44,6 +44,16 @@ def parse_args():
                         "trained on, not just the latest")
     p.add_argument("--heldout-seed", type=int, default=999)
     p.add_argument("--records-cache", default="", help="pickle of pre-simulated held-out records (skips on-chip simulation)")
+    p.add_argument("--ref-testset", default="",
+                   help="directory holding the reference's SHIPPED test CSVs "
+                        "(ML_NMR_5M_XL_{13C,HSQC,COSY}_test_10x100.csv + "
+                        "ML_NMR_1H_combined_ZINC_test_10x100.csv); evaluates "
+                        "on those molecules/spectra instead of factory-"
+                        "simulated held-out data — the like-for-like external "
+                        "benchmark (reference MMT_website/Runfolder/CSV_files)")
+    p.add_argument("--ref-modalities", default="1h,13c,hsqc,cosy",
+                   help="comma subset of 1h,13c,hsqc,cosy to load from "
+                        "--ref-testset (no IR exists there)")
     p.add_argument("--chunk-size", type=int, default=48)
     p.add_argument("--fanout", type=int, default=128)
     p.add_argument("--multinom-runs", type=int, default=10)
@@ -90,14 +100,61 @@ def main() -> int:
     from multimodalspectraltransformer_tpu.train import checkpoint as ckpt
     from multimodalspectraltransformer_tpu.utils.config import DecodeConfig, ModelConfig
 
+    # ---- reference shipped test set (external benchmark) ----------------
+    ref_records = None
+    if args.ref_testset:
+        from multimodalspectraltransformer_tpu.chem import api as chem_mod
+        from multimodalspectraltransformer_tpu.data import pipeline as dp
+
+        mods = {m.strip() for m in args.ref_modalities.lower().split(",") if m.strip()}
+        d = args.ref_testset
+        ref_records = dp.load_reference_testset(
+            csv_13c=os.path.join(d, "ML_NMR_5M_XL_13C_test_10x100.csv") if "13c" in mods else "",
+            csv_hsqc=os.path.join(d, "ML_NMR_5M_XL_HSQC_test_10x100.csv") if "hsqc" in mods else "",
+            csv_cosy=os.path.join(d, "ML_NMR_5M_XL_COSY_test_10x100.csv") if "cosy" in mods else "",
+            csv_1h=os.path.join(d, "ML_NMR_1H_combined_ZINC_test_10x100.csv") if "1h" in mods else "",
+            limit=args.n,
+        )
+        # disjointness vs the training corpora is still checked: canonical
+        # overlaps are dropped (expected ~0 — the corpora are generated,
+        # the test set is ZINC)
+        train_set = set(molrandom.random_corpus(args.train_n, seed=args.train_seed))
+        for pair in filter(None, args.extra_exclude.split(",")):
+            xseed, xn = (int(v) for v in pair.split(":"))
+            train_set |= set(molrandom.random_corpus(xn, seed=xseed))
+        n_loaded = len(ref_records)
+        kept = []
+        n_unparseable = 0
+        for r in ref_records:
+            can = chem_mod.canonicalize(r.smiles)
+            if can is None:
+                n_unparseable += 1
+                continue
+            if can in train_set:
+                continue
+            kept.append(r)
+        n_overlap = n_loaded - n_unparseable - len(kept)
+        ref_records = kept
+        print(
+            f"[acc] reference test set: {n_loaded} rows, "
+            f"{n_unparseable} unparseable SMILES dropped, "
+            f"{n_overlap} training-corpus overlaps dropped, "
+            f"{len(ref_records)} evaluated (modalities: {sorted(mods)})",
+            flush=True,
+        )
+
     # ---- held-out corpus, disjoint from the training corpus -------------
     heldout_path = os.path.join(args.out, "heldout_smiles.json")
+    if ref_records is not None:
+        heldout_path = None  # molecules come from the shipped CSVs
     heldout_key = {
         "train_n": args.train_n, "train_seed": args.train_seed,
         "heldout_seed": args.heldout_seed, "n": args.n,
         "mw_band": args.mw_band, "extra_exclude": args.extra_exclude,
     }
-    if os.path.exists(heldout_path):
+    if heldout_path is None:
+        heldout = [r.smiles for r in ref_records]
+    elif os.path.exists(heldout_path):
         with open(heldout_path) as f:
             cached = json.load(f)
         if isinstance(cached, list):
@@ -152,7 +209,9 @@ def main() -> int:
     import pickle
 
     _copen = gzip.open if args.records_cache.endswith(".gz") else open
-    if args.records_cache and os.path.exists(args.records_cache):
+    if ref_records is not None:
+        records = ref_records  # spectra come from the shipped CSVs as-is
+    elif args.records_cache and os.path.exists(args.records_cache):
         with _copen(args.records_cache, "rb") as f:
             records = pickle.load(f)
         keep = set(heldout)
@@ -184,6 +243,10 @@ def main() -> int:
             f"f{args.fanout}.m{args.multinom_runs}.r{args.rounds}"
             f".l{args.max_len}.b{int(args.bf16)}.x{int(args.mix)}"
         )
+        if args.ref_testset:
+            # same SMILES can be evaluated against factory spectra or the
+            # shipped reference spectra — different work, different digest
+            decode_key += f".ref[{args.ref_modalities}]"
         digest = hashlib.sha256(
             ("|".join(r.smiles for r in chunk) + "#" + params_hash + "#" + decode_key).encode()
         ).hexdigest()[:16]
@@ -296,6 +359,8 @@ def main() -> int:
         "beam_candidates": args.beam,
         "greedy_in_pool": args.mix,
         "heldout_seed": args.heldout_seed,
+        "ref_testset": args.ref_testset,
+        "ref_modalities": args.ref_modalities if args.ref_testset else "",
         "reference": {
             "zinc_0_250_mns_exact": 0.911,
             "zinc_0_250_greedy_exact": 0.624,
@@ -305,11 +370,24 @@ def main() -> int:
     with open(os.path.join(REPO, f"ACCURACY_{args.tag}.json"), "w") as f:
         json.dump(report, f, indent=1)
 
+    if args.ref_testset:
+        provenance = [
+            "**The reference's own shipped test set**: 1000 ZINC molecules",
+            "(250-350 Da) with SGNN-simulated spectra from",
+            "`MMT_website/Runfolder/CSV_files/` — spectra generated by the",
+            f"REFERENCE's simulator, not ours. Modalities: {args.ref_modalities}",
+            f"(no IR exists in the set). n = {n} evaluated.",
+        ]
+    else:
+        provenance = [
+            f"Held-out factory molecules (seed {args.heldout_seed}, disjoint from the",
+            f"training corpus by canonical SMILES), n = {n}.",
+        ]
     md = [
         f"# Accuracy report ({args.tag})",
         "",
-        f"Held-out factory molecules (seed {args.heldout_seed}, disjoint from the",
-        f"training corpus by canonical SMILES), n = {n}. Harness: {args.fanout}-way",
+        *provenance,
+        f"Harness: {args.fanout}-way",
         f"fan-out MNS, {args.multinom_runs} candidates, MW filter, temperature",
         "escalation, trained-GNN spectral simulation, device spectral-error ranking.",
         "",
@@ -341,15 +419,31 @@ def main() -> int:
                 f"| {b['greedy_exact']:.3f} | {b['reference_greedy_exact']} "
                 f"| {b['best_tanimoto']:.3f} |"
             )
+    if args.ref_testset:
+        tail = [
+            "This is the LIKE-FOR-LIKE external benchmark: the query spectra were",
+            "simulated by the reference's own SGNN pipeline (shipped in its repo),",
+            "so the model is inverting a simulator it never trained on. The",
+            "closest reference bar is its 250-350 Da sweep (MNS 0.483, greedy",
+            "0.228 — PubChem molecules, SGNN spectra, `scripts/PC_250_350.txt`);",
+            "this set is ZINC molecules of the same MW band. Candidate spectral-",
+            "error ranking still uses OUR factory simulator for candidate spectra",
+            "(the reference re-runs SGNN), so top-k-by-error carries a",
+            "simulator-mismatch penalty the reference's own runs don't have.",
+        ]
+    else:
+        tail = [
+            "The reference numbers are its own simulated-data regime (SGNN-trained",
+            "spectra of ZINC molecules); ours is the equivalent closed loop on the",
+            "first-party factory (rule-teacher-distilled GNN spectra of generated",
+            "drug-like molecules). Both measure the same thing: can the model invert",
+            "its own simulator's spectra back to the structure.",
+        ]
     md += [
         "",
         f"Checkpoint: `{args.params}`. Reproduce: see this script's docstring.",
         "",
-        "The reference numbers are its own simulated-data regime (SGNN-trained",
-        "spectra of ZINC molecules); ours is the equivalent closed loop on the",
-        "first-party factory (rule-teacher-distilled GNN spectra of generated",
-        "drug-like molecules). Both measure the same thing: can the model invert",
-        "its own simulator's spectra back to the structure.",
+        *tail,
     ]
     # only the headline tag owns the top-level ACCURACY.md; variant passes
     # (banded, --mix protocol, probes) write ACCURACY_<tag>.md instead of

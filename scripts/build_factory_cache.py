@@ -33,8 +33,19 @@ def main() -> int:
                     help="the --factory-seed the cache will be used with (key check)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--checkpoint-every", type=int, default=16,
+                    help="crash-safety checkpoint cadence in CHUNKS (re-"
+                         "pickling the whole list every chunk is O(n^2) I/O)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (keeps the TPU free for a "
+                         "concurrent training/eval job; the factory GNN "
+                         "batches are small enough that CPU is fine)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from multimodalspectraltransformer_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -44,6 +55,13 @@ def main() -> int:
     with open(args.corpus) as f:
         smiles = [ln.strip() for ln in f if ln.strip()]
     print(f"corpus: {len(smiles)} molecules from {args.corpus}", flush=True)
+    if len(smiles) != args.n:
+        print(
+            f"[warn] corpus holds {len(smiles)} molecules but --n {args.n} was "
+            "asserted for the cache key — a mismatched/truncated corpus would "
+            "train on fewer records than requested",
+            file=sys.stderr, flush=True,
+        )
 
     records = []
     t_all = time.time()
@@ -62,14 +80,21 @@ def main() -> int:
             f"{time.time()-t0:.1f}s ({rate:.1f} mol/s, ETA {eta:.0f} min)",
             flush=True,
         )
-        # checkpoint the partial cache so a crash doesn't lose hours
-        tmp = args.out + ".partial"
-        with open(tmp, "wb") as f:
-            pickle.dump({"n": args.n, "seed": args.seed, "done": done,
-                         "records": records}, f)
+        # crash-safety checkpoint: every K chunks (not every chunk — that
+        # rewrites a growing multi-GB pickle ~100x over a 200k corpus),
+        # written atomically (tmp + os.replace) so a crash mid-dump can't
+        # corrupt the checkpoint it exists to protect
+        if (lo // args.chunk + 1) % args.checkpoint_every == 0:
+            tmp = args.out + ".partial.tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump({"n": args.n, "seed": args.seed, "done": done,
+                             "records": records}, f)
+            os.replace(tmp, args.out + ".partial")
 
-    with open(args.out, "wb") as f:
+    tmp = args.out + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump({"n": args.n, "seed": args.seed, "records": records}, f)
+    os.replace(tmp, args.out)
     if os.path.exists(args.out + ".partial"):
         os.remove(args.out + ".partial")
     print(

@@ -258,3 +258,55 @@ def test_device_dataset_disk_cache_round_trip(tmp_path, monkeypatch):
     mutated = dp.synthetic_dataset(12, seed=6)
     assert dp.Loader(mutated, mcfg, batch_size=4).features_digest() != \
         first.features_digest()
+
+
+def test_device_dataset_sharded_local_gather():
+    """Sharded corpus + shard-local gather == composing the same rows by
+    hand from each shard's partition; and a mesh training segment over the
+    sharded dataset runs and learns (lifts the old device_data-vs-mesh
+    restriction that fell back to the ~8x-slower host loader)."""
+    import jax.numpy as jnp
+
+    from multimodalspectraltransformer_tpu import parallel
+    from multimodalspectraltransformer_tpu.utils.config import (
+        MMTConfig, ModelConfig, TrainConfig, DataConfig,
+    )
+
+    mcfg = ModelConfig.small()
+    records = dp.synthetic_dataset(64, seed=5)
+    mesh = parallel.make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    loader = dp.Loader(records, mcfg, batch_size=8, seed=3)
+    dd = loader.device_dataset_sharded(mesh)
+    assert dd is not None
+    ext = parallel.data_extent(mesh)
+    assert ext == 4
+    R = int(dd.trg_tokens.shape[0])
+    Rl = R // ext
+    host = jax.tree.map(lambda x: np.asarray(x), dd)
+
+    gather = dp.sharded_gather_fn(mesh)
+    bsh = parallel.batch_sharding(mesh)
+    idxs = list(loader.epoch_row_batches_sharded(0, ext))
+    assert len(idxs) == Rl // (8 // ext)
+    for idx in idxs[:3]:
+        got = gather(dd, jax.device_put(jnp.asarray(idx), bsh))
+        # manual composition: segment d gathers from partition d
+        for leaf_name in ("trg_tokens", "trg_fp"):
+            g = np.asarray(getattr(got, leaf_name))
+            for d in range(ext):
+                seg = idx[d * 2 : (d + 1) * 2]
+                want = getattr(host, leaf_name)[d * Rl + seg]
+                np.testing.assert_array_equal(g[d * 2 : (d + 1) * 2], want)
+
+    # short mesh training segment over the sharded dataset
+    from multimodalspectraltransformer_tpu.train.loop import run_training
+
+    cfg = MMTConfig(
+        model=mcfg,
+        train=TrainConfig(learning_rate=1e-3, num_epochs=1, fast_dropout_rng=False,
+                          save_interval_steps=10_000),
+        data=DataConfig(batch_size=8),
+    )
+    res = run_training(cfg, loader, mesh=mesh, max_steps=3, log_every=1)
+    assert res.steps == 3
+    assert np.isfinite(res.train_loss)

@@ -249,3 +249,94 @@ def test_trainable_only_freeze():
             np.testing.assert_array_equal(vb, va, err_msg=path)
             unmoved += 1
     assert moved >= 1 and unmoved > 10
+
+
+def test_blank_modalities_device():
+    """Device-side blanking matches featurize's blank semantics: blanked
+    modality -> zero src + all-pad mask; p=0 is identity; p=1 restores
+    1H+13C (the all-blanked fallback, reference
+    dataloaders_pl_v15_4.py:597-626)."""
+    from multimodalspectraltransformer_tpu.data import pipeline as dp
+    from multimodalspectraltransformer_tpu.train.step import blank_modalities_device
+
+    mcfg = CFG.model
+    records = dp.synthetic_dataset(8, seed=3)
+    batch = next(iter(dp.Loader(records, mcfg, batch_size=8).epoch(0)))
+    batch = jax.tree.map(jnp.asarray, batch)
+    rng = jax.random.PRNGKey(7)
+
+    same = blank_modalities_device(batch, rng, 0.0)
+    for a, b in zip(jax.tree.leaves(same), jax.tree.leaves(batch)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    full = blank_modalities_device(batch, rng, 1.0)
+    # everything except the restored 1H+13C is blanked
+    np.testing.assert_array_equal(np.asarray(full.inputs.src_hsqc), 0)
+    np.testing.assert_array_equal(np.asarray(full.inputs.mask_hsqc), 1)
+    np.testing.assert_array_equal(np.asarray(full.inputs.src_cosy), 0)
+    np.testing.assert_array_equal(np.asarray(full.inputs.mask_cosy), 1)
+    np.testing.assert_array_equal(np.asarray(full.inputs.src_ir), 0)
+    np.testing.assert_array_equal(
+        np.asarray(full.inputs.src_1h), np.asarray(batch.inputs.src_1h)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.inputs.src_13c), np.asarray(batch.inputs.src_13c)
+    )
+    # targets and conditioning are untouched
+    np.testing.assert_array_equal(np.asarray(full.trg_tokens), np.asarray(batch.trg_tokens))
+    np.testing.assert_array_equal(np.asarray(full.inputs.src_mf), np.asarray(batch.inputs.src_mf))
+
+    # intermediate p: every sample keeps at least one modality, and a
+    # blanked modality is blanked CONSISTENTLY (src zeroed AND mask padded)
+    mid = blank_modalities_device(batch, rng, 0.6)
+    m = mid.inputs
+    kept_any = (
+        (np.asarray(m.mask_1h) == 0).any(1)
+        | (np.asarray(m.mask_13c) == 0).any(1)
+        | (np.asarray(m.mask_hsqc) == 0).any(1)
+        | (np.asarray(m.mask_cosy) == 0).any(1)
+        | (np.asarray(m.src_ir) != 0).any(1)
+    )
+    assert kept_any.all()
+    hsqc_padded = (np.asarray(m.mask_hsqc) == 1).all(1)
+    hsqc_zero = (np.asarray(m.src_hsqc) == 0).all(axis=(1, 2))
+    assert (hsqc_padded == hsqc_zero).all()
+
+
+def test_jitter_spectra_device():
+    """Jitter moves only live NMR coordinates: padded slots stay zero, 1H
+    intensities / targets / IR / masks untouched; ungated samples pass
+    through exactly; sigma in ppm maps through the 10/200 normalization."""
+    from multimodalspectraltransformer_tpu.data import pipeline as dp
+    from multimodalspectraltransformer_tpu.train.step import jitter_spectra_device
+
+    mcfg = CFG.model
+    records = dp.synthetic_dataset(16, seed=11)
+    batch = next(iter(dp.Loader(records, mcfg, batch_size=16).epoch(0)))
+    batch = jax.tree.map(jnp.asarray, batch)
+    rng = jax.random.PRNGKey(5)
+
+    out = jitter_spectra_device(batch, rng, 0.2, 3.0, gate_p=1.0)
+    i, o = batch.inputs, out.inputs
+    # padded slots unchanged (zero)
+    pad13 = np.asarray(i.mask_13c) == 1
+    np.testing.assert_array_equal(np.asarray(o.src_13c)[pad13], 0.0)
+    # live 13C moved, with ~3/200 normalized scale
+    live13 = ~pad13
+    d = (np.asarray(o.src_13c) - np.asarray(i.src_13c))[live13]
+    assert np.abs(d).max() > 0
+    assert np.abs(d).std() < 5 * 3.0 / 200
+    # 1H intensities untouched, ppm moved
+    np.testing.assert_array_equal(
+        np.asarray(o.src_1h)[..., 1], np.asarray(i.src_1h)[..., 1]
+    )
+    live1h = np.asarray(i.mask_1h) == 0
+    assert np.abs((np.asarray(o.src_1h) - np.asarray(i.src_1h))[live1h][:, 0]).max() > 0
+    # masks / IR / targets untouched
+    np.testing.assert_array_equal(np.asarray(o.mask_hsqc), np.asarray(i.mask_hsqc))
+    np.testing.assert_array_equal(np.asarray(o.src_ir), np.asarray(i.src_ir))
+    np.testing.assert_array_equal(np.asarray(out.trg_tokens), np.asarray(batch.trg_tokens))
+
+    none = jitter_spectra_device(batch, rng, 0.2, 3.0, gate_p=0.0)
+    for a, b in zip(jax.tree.leaves(none), jax.tree.leaves(batch)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
