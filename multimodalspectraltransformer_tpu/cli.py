@@ -79,7 +79,18 @@ def _load_records(args, mcfg):
                         f"asked for n={args.factory} seed={fseed}; delete the cache "
                         "or point --factory-cache elsewhere"
                     )
-                return cached["records"]
+                recs = cached["records"]
+                # the key records asserted flags, not the actual corpus: a
+                # truncated build (crash mid-simulation) would otherwise
+                # train silently on far fewer records than requested
+                if len(recs) > args.factory or len(recs) < args.factory * 0.8:
+                    print(
+                        f"[warn] --factory-cache {cache} holds {len(recs)} records "
+                        f"but its key asserts n={args.factory} — the cache looks "
+                        "truncated or over-full; delete it to regenerate",
+                        file=sys.stderr, flush=True,
+                    )
+                return recs
             if len(cached) > args.factory or len(cached) < args.factory * 0.8:
                 print(
                     f"[warn] --factory-cache {cache} holds {len(cached)} records but "

@@ -208,20 +208,69 @@ def main() -> int:
     import gzip
     import pickle
 
-    _copen = gzip.open if args.records_cache.endswith(".gz") else open
+    def _load_cached_records(path: str):
+        """Pre-simulated held-out records from (preferred) a directory or
+        .tar.gz of reference-format CSVs (`export_reference_csvs` layout:
+        data_{1H,13C,HSQC,COSY}_0.csv + IR_data/<id>.csv — format-stable
+        across refactors) or (legacy) a pickle of live SampleRecords."""
+        from multimodalspectraltransformer_tpu.data import pipeline as dp
+
+        if path.endswith((".tar.gz", ".tgz")):
+            import tarfile
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="mmt_heldout_")
+            with tarfile.open(path) as tf:
+                tf.extractall(tmp, filter="data")
+            # the csv bundle may be nested one level deep
+            cand = [tmp] + [os.path.join(tmp, d) for d in os.listdir(tmp)]
+            path = next(
+                d for d in cand
+                if os.path.isdir(d) and os.path.exists(os.path.join(d, "data_1H_0.csv"))
+            )
+        if os.path.isdir(path):
+            return dp.load_spectra_csvs(
+                csv_1h=os.path.join(path, "data_1H_0.csv"),
+                csv_13c=os.path.join(path, "data_13C_0.csv"),
+                csv_hsqc=os.path.join(path, "data_HSQC_0.csv"),
+                csv_cosy=os.path.join(path, "data_COSY_0.csv"),
+                ir_folder=os.path.join(path, "IR_data"),
+            )
+        with (gzip.open if path.endswith(".gz") else open)(path, "rb") as f:
+            return pickle.load(f)
+
     if ref_records is not None:
         records = ref_records  # spectra come from the shipped CSVs as-is
     elif args.records_cache and os.path.exists(args.records_cache):
-        with _copen(args.records_cache, "rb") as f:
-            records = pickle.load(f)
+        records = _load_cached_records(args.records_cache)
         keep = set(heldout)
         records = [r for r in records if r.smiles in keep][: args.n]
         print(f"[acc] loaded {len(records)} cached records", flush=True)
     else:
         records = factory.simulate_records(heldout)
         if args.records_cache:
-            with _copen(args.records_cache, "wb") as f:
-                pickle.dump(records, f)
+            if os.path.isdir(args.records_cache) or args.records_cache.endswith(
+                (".tar.gz", ".tgz")
+            ):
+                from multimodalspectraltransformer_tpu.sim.factory import (
+                    export_reference_csvs,
+                )
+
+                out_dir = args.records_cache
+                if out_dir.endswith((".tar.gz", ".tgz")):
+                    import tarfile
+
+                    tmp_dir = out_dir + ".dir"
+                    export_reference_csvs(records, tmp_dir)
+                    with tarfile.open(out_dir, "w:gz") as tf:
+                        tf.add(tmp_dir, arcname="heldout_csv")
+                else:
+                    export_reference_csvs(records, out_dir)
+            else:
+                with (gzip.open if args.records_cache.endswith(".gz") else open)(
+                    args.records_cache, "wb"
+                ) as f:
+                    pickle.dump(records, f)
     print(f"[acc] records ready: {len(records)} in {time.time()-t0:.0f}s", flush=True)
 
     # chunk-result caching must be keyed on the checkpoint too: the same
@@ -400,7 +449,15 @@ def main() -> int:
         f"| teacher-forced P(sequence) | {report['corr_sampling_prob']:.3f} | - |",
     ]
     for k, v in sorted(topk_agg.items(), key=lambda kv: int(kv[0])):
-        md.append(f"| top-{k} by spectral-error rank | {v:.3f} | - |")
+        # report BOTH denominators: over molecules with a rankable pool
+        # (the reference's convention — empty keys dropped before dividing)
+        # and over ALL molecules (no-candidate molecules count as misses),
+        # so denominator shrinkage can't inflate the by-error rows
+        v_all = v * total_topk_n / max(n, 1)
+        md.append(
+            f"| top-{k} by spectral-error rank | {v:.3f} "
+            f"(n={total_topk_n}; over all {n}: {v_all:.3f}) | - |"
+        )
     if bands:
         md += [
             "",
