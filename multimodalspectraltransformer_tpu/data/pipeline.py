@@ -209,6 +209,70 @@ def load_reference_testset(
     return records
 
 
+def load_real_example(
+    dir_path: str,
+    use_ir: bool = True,
+    limit: int = 0,
+) -> list[SampleRecord]:
+    """Load the reference's shipped REAL experimental dataset: 5 AstraZeneca
+    molecules with measured 1H/13C/HSQC/COSY + IR spectra
+    (`MMT_website/Runfolder/CSV_files/website_real_example/
+    real_{1H,13C,HSQC,COSY}_with_AZ_SMILES_v3.csv` + `real_IR/<id>.csv`) —
+    the input of the reference's experimental-data route
+    (`MMT_website/app.py:831` /run_model_exp_data) and its ``real_data``
+    fine-tuning path.
+
+    Format quirks vs the simulated CSVs: semicolon-separated with a
+    ``sample-id;shifts;SN_Number;AZ_Number;SMILES`` header; SMILES carry
+    stereo markers and explicit ``[H]`` atoms (normalized away here — the
+    reference evaluates with isomericSmiles=false and the vocab has no
+    [H] token); IR files have ``wavelength,spectra`` columns."""
+    import csv as _csv
+
+    from ..chem import api as chem_api
+
+    by_id: dict[str, SampleRecord] = {}
+    order: list[str] = []
+    for key, attr in (("1H", "h1"), ("13C", "c13"), ("HSQC", "hsqc"), ("COSY", "cosy")):
+        path = os.path.join(dir_path, f"real_{key}_with_AZ_SMILES_v3.csv")
+        if not os.path.exists(path):
+            continue
+        with open(path, newline="") as f:
+            for row in _csv.DictReader(f, delimiter=";"):
+                sid = row["sample-id"].strip()
+                try:
+                    data = _parse_shifts(row["shifts"])
+                except (ValueError, SyntaxError):
+                    continue
+                if key != "13C":
+                    data = [list(p) for p in data]
+                if sid not in by_id:
+                    from ..chem import cleaning
+
+                    # stereo first ([C@] -> C restores the implicit H),
+                    # then drop the explicit [H] atoms
+                    smi = cleaning.remove_stereo(row["SMILES"].strip())
+                    smi = smi.replace("[H]", "")
+                    can = chem_api.canonicalize(smi)
+                    if can is None:
+                        continue
+                    by_id[sid] = SampleRecord(sid, can)
+                    order.append(sid)
+                setattr(by_id[sid], attr, data)
+    if use_ir:
+        ir_dir = os.path.join(dir_path, "real_IR")
+        for sid, rec in by_id.items():
+            path = os.path.join(ir_dir, f"{sid}.csv")
+            if os.path.exists(path):
+                spectra = []
+                with open(path, newline="") as f:
+                    for row in _csv.DictReader(f):
+                        spectra.append(float(row["spectra"]))
+                rec.ir = np.asarray(spectra)
+    recs = [by_id[s] for s in order]
+    return recs[:limit] if limit else recs
+
+
 def bin_ir(raw: np.ndarray, bins: int) -> np.ndarray:
     """Mean-bin + max-normalize (reference `_load_IR_data`, `:324-346`).
 

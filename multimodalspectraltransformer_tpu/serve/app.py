@@ -311,6 +311,55 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
 
         return run
 
+    def exp_data_job(opts: dict):
+        """The reference's /run_model_exp_data route (`MMT_website/app.py:
+        831`): evaluate the model on REAL experimental spectra (the shipped
+        AZ example set or any directory in that format), optionally through
+        the ``use_real_data`` blend head (`models_MMT_v15_4.py:965-971`)."""
+
+        def run(job: jobs_mod.Job):
+            import dataclasses as _dc
+
+            from ..eval import harness
+
+            dir_path = opts.get("dir", "")
+            if not dir_path:
+                raise ValueError("exp_data: pass {'dir': <real-example directory>}")
+            recs = dp.load_real_example(dir_path, use_ir=bool(opts.get("use_ir", True)))
+            if not recs:
+                raise ValueError(f"no real-example records in {dir_path!r}")
+            params, model_cfg = st.snapshot_model(job.log)
+            if bool(opts.get("use_real_data", False)):
+                model_cfg = _dc.replace(model_cfg, use_real_data=True)
+            job.log(f"evaluating {len(recs)} experimental molecules from {dir_path}")
+            dcfg = DecodeConfig(**{k: v for k, v in opts.items() if k in DecodeConfig.__dataclass_fields__})
+            results, summary = harness.evaluate_molecules(
+                recs, params, model_cfg, dcfg,
+                simulate_errors=bool(opts.get("simulate_errors", True)),
+            )
+            job.log("experimental-data evaluation finished")
+            out_mols = []
+            for r in results:
+                ranked = harness.rank_candidates_by_error(r)
+                out_mols.append({
+                    "target": r.target,
+                    "greedy": r.greedy,
+                    "greedy_exact": r.greedy_exact,
+                    "greedy_tanimoto": r.greedy_tanimoto,
+                    "corr_sampling_prob": r.corr_sampling_prob,
+                    "n_candidates": len(r.candidates),
+                    "best_tanimoto": r.best_tanimoto,
+                    "top_ranked": [
+                        {"smiles": c.smiles, "tanimoto": c.tanimoto,
+                         "exact": c.exact, "hsqc_error": c.hsqc_error,
+                         "cosy_error": c.cosy_error}
+                        for c in ranked[:5]
+                    ],
+                })
+            return {"summary": summary.__dict__, "molecules": out_mols}
+
+        return run
+
     def improve_job(opts: dict):
         def run(job: jobs_mod.Job):
             import jax
@@ -420,6 +469,11 @@ def make_app(state: Optional[ServerState] = None) -> Callable:
                     job = st.jobs.submit("evaluate", evaluate_job(payload.get("source", "sim"), payload))
                 except jobs_mod.QueueFullError as e:
                     return _json_resp(start_response, {"error": str(e)}, "429 Too Many Requests")
+                return _json_resp(start_response, job.to_dict(), "202 Accepted")
+
+            if path == "/api/run_exp_data" and method == "POST":
+                payload = req.json()
+                job = st.jobs.submit("exp_data", exp_data_job(payload))
                 return _json_resp(start_response, job.to_dict(), "202 Accepted")
 
             if path == "/api/improve" and method == "POST":

@@ -207,3 +207,25 @@ def test_job_queue_full_and_cancel_pending_wakeup():
     finally:
         gate.append(1)
         q.shutdown()
+
+
+def test_run_exp_data_route(server):
+    """The reference's /run_model_exp_data route on the SHIPPED real
+    AstraZeneca spectra (experimental 1H/13C/HSQC/COSY + IR), through the
+    use_real_data blend path (models_MMT_v15_4.py:965-971)."""
+    import os
+
+    d = "/root/reference/MMT_website/Runfolder/CSV_files/website_real_example"
+    if not os.path.isdir(d):
+        pytest.skip("reference real-example data not mounted")
+    base, _ = server
+    job = _post(base + "/api/run_exp_data", {
+        "dir": d, "use_real_data": True, "max_len": 24, "fanout": 4,
+        "multinom_runs": 2, "max_temp_rounds": 1, "simulate_errors": True,
+    })
+    d2 = _wait_job(base, job["job_id"])
+    assert d2["status"] == "done", d2.get("error", "")
+    mols = d2["result"]["molecules"]
+    assert len(mols) == 5
+    for m in mols:
+        assert m["target"] and "top_ranked" in m and "greedy" in m
