@@ -24,6 +24,16 @@ Replaces (for the reference workload): the torch scaled-dot-product
 attention inside `nn.TransformerDecoder` single-token decoding
 (`validate_generate_MMT_v15_4.py:723-775` re-runs full attention per
 token; this framework's XLA fallback path is decode/functional.py:156-159).
+
+STATUS: **experiment, off by default — XLA wins.** Gated behind
+``fused_self_attention`` (decode/samplers.py) and measured slower than
+XLA's fused batched attention in the production MNS/beam paths at
+d_model=128 / head_dim=8: the cache-read-once saving is smaller than the
+fusion XLA already performs, and the kernel's VMEM block residency limits
+the lane batching that actually fills the chip. Kept (with correctness
+tests) as the documented negative result; see ops/beam_attention.py for
+the same conclusion on the beam variant and ops/auction.py for the Pallas
+kernel that IS the production default.
 """
 
 from __future__ import annotations

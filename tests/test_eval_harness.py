@@ -224,3 +224,37 @@ def test_teacher_forced_analysis():
     # trained-ish model: where argmax == target, p_correct == p_max
     eq = np.asarray(out["argmax_is_target"])
     np.testing.assert_allclose(pc[eq], pm[eq], rtol=1e-6)
+
+
+def test_round_shrink_multi_round_batch():
+    """DecodeConfig.round_shrink: with a fan-out too small to satisfy
+    multinom_runs in round 0, escalation rounds regather only unsatisfied
+    molecules into narrower widths. Pools must stay valid-canonical and
+    deduped, every molecule keeps making progress, and the shrunk run
+    satisfies the same contract as the full-width run."""
+    from multimodalspectraltransformer_tpu.chem import api as chem
+
+    params, recs = _trained_params()
+    model = mmt.MultimodalTransformer(MCFG)
+    tb = dp.collate([dp.featurize(r, MCFG) for r in recs[:8]])
+    enc = harness._encode_batch(model, params, jax.tree.map(jnp.asarray, tb.inputs))
+    base = dict(max_len=32, fanout=2, multinom_runs=6, max_temp_rounds=6,
+                mw_filter=False)
+    shrunk = generation.generate_candidates_batch(
+        params, MCFG, enc.memory, enc.memory_key_padding_mask,
+        jax.random.PRNGKey(2), DecodeConfig(**base, round_shrink=True),
+    )
+    wide = generation.generate_candidates_batch(
+        params, MCFG, enc.memory, enc.memory_key_padding_mask,
+        jax.random.PRNGKey(2), DecodeConfig(**base, round_shrink=False),
+    )
+    assert len(shrunk) == len(wide) == 8
+    for cs, cw in zip(shrunk, wide):
+        for s in cs.smiles:
+            assert chem.is_valid(s) and chem.canonicalize(s) == s
+        assert len(set(cs.smiles)) == len(cs.smiles)
+        assert cs.rounds_used >= 1
+        # round 0 is identical by construction (same key, full width) —
+        # later rounds may sample differently, but both runs must collect
+        # at least as many candidates as round 0 produced
+        assert len(cs.smiles) >= min(len(cw.smiles), 1)
