@@ -119,12 +119,29 @@ def main_e2e() -> None:
         )
     else:
         records = dp.synthetic_dataset(n_mols, seed=0)
-    ccfg = CLIPConfig(text_layers=2)
-    toks, mask = clip_tokenize(["CCO"], 64)
-    cvars = CLIPRanker(ccfg).init(
-        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
-        jnp.asarray(toks), jnp.asarray(mask), jnp.zeros((1, 512)), True,
-    )
+    # CLIP stage: load the committed TRAINED ranking tower when present
+    # (weights/clip_r3.msgpack bundle); otherwise a random-init 2-layer
+    # stand-in that carries the same per-candidate FLOP load (annotated in
+    # the metric string — a random tower scores, it does not rank).
+    clip_path = ""
+    for name in ("clip_r3.msgpack.gz", "clip_r3.msgpack"):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights", name)
+        if os.path.exists(p):
+            clip_path = p
+            break
+    if clip_path:
+        from multimodalspectraltransformer_tpu.rank.clip import load_bundle
+
+        cvars, ccfg = load_bundle(clip_path)
+        clip_desc = "trained CLIP ranker"
+    else:
+        ccfg = CLIPConfig(text_layers=2)
+        toks, mask = clip_tokenize(["CCO"], 64)
+        cvars = CLIPRanker(ccfg).init(
+            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            jnp.asarray(toks), jnp.asarray(mask), jnp.zeros((1, 512)), True,
+        )
+        clip_desc = "random-init 2-layer CLIP (FLOP load only, not a functional ranker)"
     dcfg = DecodeConfig(max_len=64, fanout=128, multinom_runs=10, max_temp_rounds=5,
                         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
 
@@ -169,7 +186,7 @@ def main_e2e() -> None:
     print(json.dumps({
         "metric": (
             f"mols/sec/chip FULL pipeline: encode + greedy + 128-way MNS "
-            f"(10 candidates, temp escalation) + filters + CLIP + simulated "
+            f"(10 candidates, temp escalation) + filters + {clip_desc} + simulated "
             f"HSQC/COSY spectral-error ranking ({len(results)} molecules, "
             f"{'trained checkpoint, model-sampled candidates' if trained else 'untrained weights, injected candidates'}, "
             f"best of {reps} reps; mean-of-reps in mols_per_sec_mean; "

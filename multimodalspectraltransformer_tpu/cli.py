@@ -227,9 +227,16 @@ def cmd_evaluate(args) -> int:
         mw_filter=not args.no_mw_filter,
         beam_candidates=args.beam_candidates, greedy_in_pool=args.mix,
     )
+    clip_bundle = None
+    if getattr(args, "clip_params", ""):
+        from .rank import clip as clip_mod
+
+        clip_bundle = clip_mod.load_bundle(args.clip_params)
     results, summary = evaluate_molecules(
         records, params, mcfg, dcfg, jax.random.PRNGKey(args.seed),
         simulate_errors=not args.no_sim_errors,
+        clip_bundle=clip_bundle,
+        clip_block=dcfg.multinom_runs if clip_bundle else 0,
     )
     out = dataclasses.asdict(summary)
     out["top_k_accuracy"] = {str(k): v for k, v in summary.top_k_accuracy.items()}
@@ -333,6 +340,13 @@ def cmd_train_clip(args) -> int:
         metrics_path=os.path.join(args.out, "metrics.jsonl") if args.out else None,
         checkpoint_path=os.path.join(args.out, f"{args.tower}.msgpack") if args.out else None,
     )
+    if args.out and args.tower == "clip":
+        # bundle (msgpack + config sidecar) so harness/bench can reload
+        # without knowing the training-time CLIPConfig
+        from .rank import clip as clip_mod
+
+        _, tcfg, _ = contrastive.make_tower("clip")
+        clip_mod.save_bundle(os.path.join(args.out, "clip.msgpack"), variables, tcfg)
     last = [r for r in logger.history if f"{args.tower}_loss" in r]
     out = {"steps": len(last), "final_loss": last[-1][f"{args.tower}_loss"] if last else None}
     if heldout:
@@ -437,6 +451,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-sim-errors", action="store_true")
     sp.add_argument("--beam-candidates", type=int, default=0,
                     help="also pool the top-K beam hypotheses per molecule")
+    sp.add_argument("--clip-params", default="",
+                    help="trained CLIP bundle (msgpack + .json sidecar from "
+                         "train-clip) to score candidates with")
     sp.add_argument("--mix", action="store_true",
                     help="also pool the greedy hypothesis (reference sampling_method='mix')")
     sp.add_argument("--results-out", default="")

@@ -311,3 +311,47 @@ def from_torch_clip(cfg: CLIPConfig, sd: dict) -> dict:
         "MT_projection": head("MT_projection"),
     }
     return params
+
+
+# --------------------------------------------------------------------------
+# Trained-tower bundle: msgpack variables + JSON config sidecar, so the
+# harness / bench / CLI can reload a committed checkpoint without knowing
+# the training-time configuration (reference: CLIP_model_path checkpoints,
+# `clip_functions_v15_4.py:311-329`).
+# --------------------------------------------------------------------------
+
+
+def save_bundle(path: str, variables, cfg: CLIPConfig) -> None:
+    """Write ``<path>`` (msgpack of the variables pytree, .gz-aware) plus
+    ``<path w/o .gz>.json`` holding the CLIPConfig fields."""
+    import dataclasses
+    import json as _json
+
+    from ..train.checkpoint import export_params_msgpack
+
+    export_params_msgpack(variables, path)
+    base = path[:-3] if path.endswith(".gz") else path
+    with open(base + ".json", "w") as f:
+        _json.dump(dataclasses.asdict(cfg), f)
+
+
+def load_bundle(path: str):
+    """Load a (variables, CLIPConfig) bundle written by :func:`save_bundle`
+    — the ``clip_bundle`` argument of eval.harness.evaluate_molecules."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..train.checkpoint import import_params_msgpack
+
+    base = path[:-3] if path.endswith(".gz") else path
+    with open(base + ".json") as f:
+        cfg = CLIPConfig(**_json.load(f))
+    model = CLIPRanker(cfg)
+    toks = jnp.zeros((1, cfg.text_max_len), jnp.int32)
+    template = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        toks, toks, jnp.zeros((1, 512)), True,
+    )
+    return import_params_msgpack(template, path), cfg
