@@ -42,6 +42,10 @@ def parse_args():
                         "as comma-separated 'seed:n' pairs (e.g. '11:150000'); "
                         "a continued checkpoint must exclude EVERY corpus it "
                         "trained on, not just the latest")
+    p.add_argument("--exclude-corpus-file", default="",
+                   help="comma-separated text files of additional training "
+                        "SMILES to exclude exactly (e.g. a MW-banded corpus "
+                        "whose generation flags seed:n can't express)")
     p.add_argument("--heldout-seed", type=int, default=999)
     p.add_argument("--records-cache", default="", help="pickle of pre-simulated held-out records (skips on-chip simulation)")
     p.add_argument("--ref-testset", default="",
@@ -122,6 +126,9 @@ def main() -> int:
         for pair in filter(None, args.extra_exclude.split(",")):
             xseed, xn = (int(v) for v in pair.split(":"))
             train_set |= set(molrandom.random_corpus(xn, seed=xseed))
+        for path in filter(None, args.exclude_corpus_file.split(",")):
+            with open(path) as f:
+                train_set |= {ln.strip() for ln in f if ln.strip()}
         n_loaded = len(ref_records)
         kept = []
         n_unparseable = 0
@@ -152,6 +159,8 @@ def main() -> int:
         "heldout_seed": args.heldout_seed, "n": args.n,
         "mw_band": args.mw_band, "extra_exclude": args.extra_exclude,
     }
+    if args.exclude_corpus_file:
+        heldout_key["exclude_corpus_file"] = args.exclude_corpus_file
     if heldout_path is None:
         heldout = [r.smiles for r in ref_records]
     elif os.path.exists(heldout_path):
@@ -176,6 +185,9 @@ def main() -> int:
         for pair in filter(None, args.extra_exclude.split(",")):
             xseed, xn = (int(v) for v in pair.split(":"))
             train_set |= set(molrandom.random_corpus(xn, seed=xseed))
+        for path in filter(None, args.exclude_corpus_file.split(",")):
+            with open(path) as f:
+                train_set |= {ln.strip() for ln in f if ln.strip()}
         if args.mw_band:
             lo, hi = (float(x) for x in args.mw_band.split(","))
             # heavier bands have a lower yield per draw: oversample harder
