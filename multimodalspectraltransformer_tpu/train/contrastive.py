@@ -147,19 +147,45 @@ def train_contrastive(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # HBM-resident fast path (same contract as run_training's device_data):
+    # the featurized corpus is parked on device once and every batch is an
+    # on-device row gather; text tokens are pre-tokenized for the WHOLE
+    # corpus once (trg_tokens already carry the framed SMILES ids, but the
+    # text tower may use a different max_text_len, so tokenize explicitly).
+    # Removes the per-batch host featurization (~15 ms/sample of chemistry)
+    # that otherwise dominates contrastive training on a slow host.
+    dd = loader.device_dataset()
+    text_toks = text_mask = None
+    if dd is not None:
+        tk, mk = clip_tokenize(loader._device_kept_smiles, ccfg.max_text_len)
+        text_toks, text_mask = jnp.asarray(tk), jnp.asarray(mk)
+
     logger = MetricsLogger(metrics_path)
     params = variables["params"]
     step_count = 0
-    try:
-        for epoch in range(ccfg.num_epochs):
+
+    def _epoch_batches(epoch: int):
+        if dd is None:
             for batch in loader.epoch(epoch):
                 inputs = jax.tree.map(jnp.asarray, batch.inputs)
-                fp, memory, kpm = _encode_frozen(mmt_model, mmt_params, inputs)
                 smiles = _batch_smiles(batch)
                 toks, mask = clip_tokenize(smiles, ccfg.max_text_len)
+                yield inputs, jnp.asarray(toks), jnp.asarray(mask)
+        else:
+            from ..data import pipeline as dp_mod
+
+            for idx in loader.epoch_row_batches(epoch):
+                ia = jnp.asarray(idx)
+                rows = dp_mod.gather_rows(dd, ia)
+                yield rows.inputs, text_toks[ia], text_mask[ia]
+
+    try:
+        for epoch in range(ccfg.num_epochs):
+            for inputs, toks, mask in _epoch_batches(epoch):
+                fp, memory, kpm = _encode_frozen(mmt_model, mmt_params, inputs)
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss = train_step(
-                    params, opt_state, jnp.asarray(toks), jnp.asarray(mask),
+                    params, opt_state, toks, mask,
                     fp, memory, kpm, sub,
                 )
                 step_count += 1

@@ -64,21 +64,23 @@ def test_blip_training_smoke():
 def test_backup_checkpoint_on_failure(tmp_path):
     cfg, records, params = _setup(8)
 
-    # poison a record so tokenization inside the loop raises mid-training
+    # poison the frozen encode so the SECOND in-loop batch raises
+    # mid-training (works for both the host and the device-dataset batch
+    # paths — both call _encode_frozen per batch inside the guarded loop)
     class Boom(Exception):
         pass
 
     ccfg = contrastive.ContrastiveConfig(num_epochs=1, batch_size=4)
-    orig = contrastive.clip_tokenize
+    orig = contrastive._encode_frozen
     calls = {"n": 0}
 
-    def exploding(smiles_list, max_len=64):
+    def exploding(mmt_model, mmt_params, inputs):
         calls["n"] += 1
-        if calls["n"] >= 3:  # after init probe + first batch
+        if calls["n"] >= 3:  # after init probe + first in-loop batch
             raise Boom()
-        return orig(smiles_list, max_len)
+        return orig(mmt_model, mmt_params, inputs)
 
-    contrastive.clip_tokenize = exploding
+    contrastive._encode_frozen = exploding
     try:
         with pytest.raises(Boom):
             contrastive.train_contrastive(
@@ -86,5 +88,5 @@ def test_backup_checkpoint_on_failure(tmp_path):
                 checkpoint_path=str(tmp_path / "c.msgpack"),
             )
     finally:
-        contrastive.clip_tokenize = orig
+        contrastive._encode_frozen = orig
     assert (tmp_path / "c.msgpack.backup.msgpack").exists()
