@@ -310,3 +310,47 @@ def test_device_dataset_sharded_local_gather():
     res = run_training(cfg, loader, mesh=mesh, max_steps=3, log_every=1)
     assert res.steps == 3
     assert np.isfinite(res.train_loss)
+
+
+def test_load_reference_testset():
+    """The shipped ZINC test CSVs (headerless SMILES,"[data]",id) parse
+    into joined records with normalized peak-list forms."""
+    import os
+
+    d = "/root/reference/MMT_website/Runfolder/CSV_files"
+    if not os.path.exists(os.path.join(d, "ML_NMR_5M_XL_13C_test_10x100.csv")):
+        import pytest
+
+        pytest.skip("reference test CSVs not mounted")
+    recs = dp.load_reference_testset(
+        csv_13c=os.path.join(d, "ML_NMR_5M_XL_13C_test_10x100.csv"),
+        csv_hsqc=os.path.join(d, "ML_NMR_5M_XL_HSQC_test_10x100.csv"),
+        csv_cosy=os.path.join(d, "ML_NMR_5M_XL_COSY_test_10x100.csv"),
+        csv_1h=os.path.join(d, "ML_NMR_1H_combined_ZINC_test_10x100.csv"),
+        limit=20,
+    )
+    assert len(recs) == 20
+    r = recs[0]
+    assert r.smiles and r.c13 and r.hsqc and r.cosy and r.h1
+    assert isinstance(r.c13[0], float)
+    assert len(r.hsqc[0]) == 2 and len(r.cosy[0]) == 2 and len(r.h1[0]) == 2
+    mcfg = ModelConfig()
+    assert dp.featurize(r, mcfg) is not None
+
+
+def test_load_real_example():
+    """The shipped AZ experimental set: semicolon CSVs + wavelength IR,
+    stereo/[H] normalized SMILES, all four modalities + IR per record."""
+    import os
+
+    d = "/root/reference/MMT_website/Runfolder/CSV_files/website_real_example"
+    if not os.path.isdir(d):
+        import pytest
+
+        pytest.skip("reference real-example data not mounted")
+    recs = dp.load_real_example(d)
+    assert len(recs) == 5
+    for r in recs:
+        assert r.h1 and r.c13 and r.hsqc and r.cosy and r.ir is not None
+        assert "[H]" not in r.smiles and "@" not in r.smiles
+        assert dp.featurize(r, ModelConfig()) is not None
