@@ -137,3 +137,18 @@ def test_sample_model_neighbors_runs_and_filters():
         assert chem.canonicalize(smi) == smi
         assert chem.mol_wt(smi) <= target_mw + cfg.mw_delta
         assert chem.tanimoto(smi, chem.canonicalize("CCOC(=O)c1ccccc1")) >= cfg.tanimoto_min
+
+
+def test_pool_diversity_stats():
+    from multimodalspectraltransformer_tpu.train.molgen import (
+        MolGenConfig, generate_neighbors, pool_diversity,
+    )
+
+    pool = generate_neighbors("CC(C)Cc1ccc(C(C)C(=O)O)cc1", MolGenConfig(generations_per_target=20))
+    d = pool_diversity(pool)
+    assert d["n_unique"] >= 10  # mutations produce varied structures
+    assert 0.0 < d["mean_pairwise_tanimoto"] < 0.9  # not near-duplicates
+    assert d["mw_std"] > 0
+    assert sum(d["ring_bond_histogram"].values()) == d["n_unique"] - sum(
+        0 for _ in ()
+    ) or d["ring_bond_histogram"]
