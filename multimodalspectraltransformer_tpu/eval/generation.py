@@ -105,6 +105,7 @@ def generate_candidates_batch(
     dcfg: DecodeConfig = DecodeConfig(),
     target_mws: Optional[list] = None,
     compute_dtype: Optional[str] = None,
+    on_round_accepted=None,
 ) -> list[CandidateSet]:
     """Fan-out sampling for a whole batch of molecules in one compiled loop
     per round (the per-molecule variant leaves the chip idle between tiny
@@ -222,6 +223,7 @@ def generate_candidates_batch(
             vocab.ids_to_smiles(r) for j, _ in consume for r in tokens[j]
         ]
         canons = chem.batch_canonicalize(flat_smiles)
+        pre_lens = {b: len(outs[b].smiles) for _, b in consume}
         for ci, (j, b) in enumerate(consume):
             _filter_block(
                 tokens[j], probs[j],
@@ -230,6 +232,18 @@ def generate_candidates_batch(
                 canons=canons[ci * F : (ci + 1) * F],
             )
             outs[b].rounds_used = round_idx + 1
+        if on_round_accepted is not None:
+            # downstream stages (candidate-spectra simulation in the eval
+            # harness) can start work on accepted candidates while later
+            # escalation rounds are still decoding on the device — the
+            # rounds are device-bound and the host sits idle between them
+            newly = [
+                (b, outs[b].smiles[pre_lens[b]:])
+                for _, b in consume
+                if len(outs[b].smiles) > pre_lens[b]
+            ]
+            if newly:
+                on_round_accepted(newly)
         active = [b for b in range(B) if len(outs[b].smiles) < want]
         if not active:
             break
@@ -246,6 +260,7 @@ def generate_candidates_batch(
         canons = chem.batch_canonicalize(
             [vocab.ids_to_smiles(r) for r in btoks.reshape(B * K, -1)]
         )
+        beam_pre = [len(o.smiles) for o in outs]
         for b in range(B):
             out, seen = outs[b], seens[b]
             tmw = (target_mws[b] if target_mws is not None else None) if dcfg.mw_filter else None
@@ -261,6 +276,14 @@ def generate_candidates_batch(
                 seen.add(can)
                 out.smiles.append(can)
                 out.seq_probs.append(float(np.exp(bscores[b, k])))
+        if on_round_accepted is not None:
+            newly = [
+                (b, outs[b].smiles[beam_pre[b]:])
+                for b in range(B)
+                if len(outs[b].smiles) > beam_pre[b]
+            ]
+            if newly:
+                on_round_accepted(newly)
     return outs
 
 

@@ -251,13 +251,44 @@ def evaluate_molecules(
 
     mark("dispatch")
     # fan-out candidate generation for ALL molecules in one compiled loop
-    # per temperature round (per-molecule calls leave the chip idle)
+    # per temperature round (per-molecule calls leave the chip idle).
+    # Candidate-spectra simulation overlap: the MNS rounds are device-bound
+    # (the host sits idle between dispatch and fetch), while the spectral-
+    # error stage's candidate simulation is pure host work — so accepted
+    # candidates are handed to a single background worker per round and
+    # most of the simulation cost hides under the remaining decode rounds.
     all_cands = None
+    sim_futures: list = []
+    sim_seen: set = set()
+    sim_pool = None
+    on_accept = None
+    if run_mns and simulate_errors:
+        import concurrent.futures as _cf
+
+        sim_pool = _cf.ThreadPoolExecutor(max_workers=1)
+
+        def on_accept(pairs):
+            fresh = []
+            for i, smis in pairs:
+                if kept_records[i].hsqc is None:
+                    continue  # same gating as the union sweep below
+                for s in smis:
+                    if s not in sim_seen:
+                        sim_seen.add(s)
+                        fresh.append(s)
+            if fresh:
+                sim_futures.append(
+                    sim_pool.submit(
+                        sim_factory.simulate_records, fresh, **(sim_kwargs or {})
+                    )
+                )
+
     if run_mns:
         all_cands = generation.generate_candidates_batch(
             params, mcfg, enc.memory, enc.memory_key_padding_mask,
             jax.random.fold_in(rng, 1), dcfg,
             target_mws=[float(f["mw"]) for f in feats],
+            on_round_accepted=on_accept,
         )
 
     seq_probs = np.asarray(tf_pending)  # corr_sampling_prob
@@ -340,8 +371,16 @@ def evaluate_molecules(
     # SMILES. One GNN batch + one featurization sweep instead of M.
     sim_by_smi: dict[str, Any] = {}
     if all_cands is not None and simulate_errors:
+        # candidates simulated during the MNS rounds by the overlap worker
+        if sim_pool is not None:
+            for fut in sim_futures:
+                for sr in fut.result():
+                    sim_by_smi[sr.smiles] = sr
+            sim_pool.shutdown()
+        # remainder: greedy-in-pool merges, injected extras, and anything
+        # from a non-overlapped path — one final batched sweep
         union: list[str] = []
-        seen_u: set = set()
+        seen_u: set = set(sim_by_smi)
         for i, rec in enumerate(kept_records):
             if rec.hsqc is None:
                 continue

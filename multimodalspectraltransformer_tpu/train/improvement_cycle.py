@@ -143,6 +143,15 @@ def run_improvement_cycle(
             run_mns=icfg.eval_mns,
         )
         reports.append(CycleReport(cycle, len(aug_smiles), result.train_loss, summary))
+        # long runs (100+ targets x many cycles) are monitored from a log
+        # tail — emit the convergence signal per cycle, not only at return
+        print(
+            f"[ic] cycle {cycle}: n_augmented={len(aug_smiles)} "
+            f"train_loss={result.train_loss:.4f} "
+            f"corr_sampling_prob={summary.corr_sampling_prob:.4f} "
+            f"greedy_exact={summary.greedy_exact:.3f}",
+            flush=True,
+        )
         if summary.corr_sampling_prob > icfg.ic_threshold:
             break
     return params, reports
