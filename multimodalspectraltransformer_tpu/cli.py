@@ -334,6 +334,7 @@ def cmd_train_clip(args) -> int:
     ccfg = contrastive.ContrastiveConfig(
         learning_rate=args.lr, num_epochs=args.epochs,
         batch_size=args.batch_size, max_steps=args.steps,
+        log_every=getattr(args, "log_every", 50),
     )
     variables, logger = contrastive.train_contrastive(
         cfg, params, records, tower=args.tower, ccfg=ccfg,
@@ -495,6 +496,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch-size", type=int, default=32)
     sp.add_argument("--eval-n", type=int, default=0,
                     help="hold out the first N records and report contrastive retrieval R@1/R@5 after training")
+    sp.add_argument("--log-every", type=int, default=50,
+                    help="metric materialization cadence; every float(loss) is a "
+                         "device sync (~32 ms RPC on the tunneled backend)")
     sp.set_defaults(fn=cmd_train_clip)
 
     sp = sub.add_parser("vectorize", help="build a fingerprint vector DB")

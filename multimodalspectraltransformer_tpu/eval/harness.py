@@ -233,6 +233,7 @@ def evaluate_molecules(
     t_start = time.time()  # summary.mols_per_sec covers encode -> ranking
     mark("start")
     enc = _encode_batch(model, params, inputs)
+    mark("encode_dispatch")
 
     # Dispatch-before-fetch: queue the teacher-forced pass, the greedy
     # decode, and (inside generate_candidates_batch) the first fan-out
@@ -242,6 +243,7 @@ def evaluate_molecules(
     tf_pending = _teacher_forced_probs(
         model, params, jnp.asarray(tb.trg_tokens), enc.memory, enc.memory_key_padding_mask
     )
+    mark("tf_dispatch")
     from ..decode import samplers as _samplers
 
     greedy_pending = _samplers.greedy_decode(

@@ -258,3 +258,27 @@ def test_round_shrink_multi_round_batch():
         # later rounds may sample differently, but both runs must collect
         # at least as many candidates as round 0 produced
         assert len(cs.smiles) >= min(len(cw.smiles), 1)
+
+
+def test_on_round_accepted_callback_reports_every_candidate():
+    """The acceptance callback (simulation-overlap hook) must report each
+    accepted candidate exactly once, per molecule, across rounds and the
+    beam merge — the harness builds its spectral-simulation set from it."""
+    params, recs = _trained_params()
+    model = mmt.MultimodalTransformer(MCFG)
+    tb = dp.collate([dp.featurize(r, MCFG) for r in recs[:4]])
+    enc = harness._encode_batch(model, params, jax.tree.map(jnp.asarray, tb.inputs))
+    got: dict[int, list] = {}
+
+    def on_accept(pairs):
+        for b, smis in pairs:
+            got.setdefault(b, []).extend(smis)
+
+    dcfg = DecodeConfig(max_len=32, fanout=4, multinom_runs=4, max_temp_rounds=4,
+                        mw_filter=False, beam_candidates=2)
+    cands = generation.generate_candidates_batch(
+        params, MCFG, enc.memory, enc.memory_key_padding_mask,
+        jax.random.PRNGKey(3), dcfg, on_round_accepted=on_accept,
+    )
+    for b, cs in enumerate(cands):
+        assert got.get(b, []) == cs.smiles  # same order, no dupes, none missed
