@@ -360,7 +360,7 @@ def pollute_hsqc(
 
 # Bump when featurize/collate OUTPUT changes (keys the on-disk feature
 # cache; output-preserving refactors must NOT bump it)
-FEATURIZE_SCHEMA_VERSION = 1
+FEATURIZE_SCHEMA_VERSION = 2  # v2: compact storage dtypes (see compact_train_batch)
 
 
 def featurize(
@@ -619,6 +619,43 @@ class Loader:
         kept = z["kept_idx"] if "kept_idx" in z.files else None  # legacy: identity
         return TrainBatch(inputs, z["trg_tokens"], z["trg_fp"]), kept
 
+    # Compact storage dtypes for the HBM-resident dataset. A fp32/int32
+    # featurized record costs ~10.1 KB; at 578k records (augment 2x over a
+    # ~290k corpus) that is 5.9 GiB — which OOMed the v5e next to the train
+    # state. Stored compact it is ~4.1 KB/record (2.4 GiB): spectra as
+    # float16 (11-bit significand ≫ the bf16 the compute path rounds them
+    # to anyway), masks int8, token ids uint8 (SMILES vocab 43, MF vocab
+    # 212), fingerprint bits int8. `gather_rows`/`sharded_gather_fn`
+    # restore canonical dtypes inside the per-step gather, so consumers
+    # see f32/int32 exactly as before and the casts fuse into the gather.
+    _F16_FIELDS = ("src_1h", "src_13c", "src_hsqc", "src_cosy", "src_ir")
+    _I8_FIELDS = ("mask_1h", "mask_13c", "mask_hsqc", "mask_cosy",
+                  "mask_mf", "mask_ms")
+    _U8_FIELDS = ("src_mf", "src_ms")
+
+    @classmethod
+    def compact_train_batch(cls, big: TrainBatch) -> TrainBatch:
+        """Host-side: re-encode a featurized TrainBatch with the compact
+        storage dtypes above (idempotent)."""
+        rep = {}
+        for k in MMTBatch._fields:
+            v = np.asarray(getattr(big.inputs, k))
+            if k in cls._F16_FIELDS:
+                v = v.astype(np.float16)
+            elif k in cls._I8_FIELDS:
+                v = v.astype(np.int8)
+            elif k in cls._U8_FIELDS:
+                assert v.min() >= 0 and v.max() < 256, f"{k} exceeds uint8"
+                v = v.astype(np.uint8)
+            # mw stays float32 (exact conditioning value, [B] — negligible)
+            rep[k] = v
+        trg = np.asarray(big.trg_tokens)
+        assert trg.min() >= 0 and trg.max() < 256, "trg_tokens exceeds uint8"
+        return TrainBatch(
+            MMTBatch(**rep), trg.astype(np.uint8),
+            np.asarray(big.trg_fp).astype(np.int8),
+        )
+
     def _featurize_all(self, max_bytes: int):
         """Featurize every record to one host-side TrainBatch (with the
         MMT_FEATURE_CACHE disk cache); shared by :meth:`device_dataset`
@@ -684,10 +721,12 @@ class Loader:
                     file=sys.stderr,
                 )
             kept_idx = np.asarray(kept_list, np.int64)
-            big = collate(feats)
+            big = self.compact_train_batch(collate(feats))
             if cache_path is not None:
                 self._save_features_npz(cache_path, big, kept_idx)
                 print(f"device_dataset: wrote featurized cache {cache_path}")
+        # loads of pre-v2 caches arrive fat; re-encode (idempotent)
+        big = self.compact_train_batch(big)
         nbytes = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(big))
         if nbytes > max_bytes:
             import sys
@@ -833,9 +872,37 @@ class Loader:
 
 
 @jax.jit
+def restore_train_batch(big: TrainBatch) -> TrainBatch:
+    """Device-side inverse of :meth:`Loader.compact_train_batch`: cast the
+    compact storage dtypes back to the canonical featurize dtypes
+    (f32 spectra/fingerprint, int32 masks/ids). Safe under jit — the casts
+    fuse into the surrounding gather; no-op on already-canonical batches."""
+    def _restore(k, v):
+        if v.dtype in (jnp.float16, jnp.bfloat16):
+            return v.astype(jnp.float32)
+        if v.dtype in (jnp.int8, jnp.uint8):
+            return v.astype(jnp.int32)
+        return v
+    inputs = MMTBatch(**{
+        k: _restore(k, getattr(big.inputs, k)) for k in MMTBatch._fields
+    })
+    trg = big.trg_tokens
+    if trg.dtype != jnp.int32:
+        trg = trg.astype(jnp.int32)
+    fp = big.trg_fp
+    if fp.dtype != jnp.float32:
+        fp = fp.astype(jnp.float32)
+    return TrainBatch(inputs, trg, fp)
+
+
+@jax.jit
 def gather_rows(dataset, idx: jax.Array):
-    """On-device batch assembly: rows `idx` of every dataset leaf."""
-    return jax.tree_util.tree_map(lambda x: x[idx], dataset)
+    """On-device batch assembly: rows `idx` of every dataset leaf (compact
+    storage dtypes are restored to canonical ones on the way out). Jitted:
+    one dispatch per step instead of one per leaf per step (the tunneled
+    backend pays ~ms per RPC), and the restore casts fuse into the gather."""
+    out = jax.tree_util.tree_map(lambda x: x[idx], dataset)
+    return restore_train_batch(out) if isinstance(out, TrainBatch) else out
 
 
 def sharded_gather_fn(mesh):
@@ -857,7 +924,8 @@ def sharded_gather_fn(mesh):
     spec = PartitionSpec(axes)
 
     def local_gather(data, idx):
-        return jax.tree_util.tree_map(lambda x: x[idx], data)
+        out = jax.tree_util.tree_map(lambda x: x[idx], data)
+        return restore_train_batch(out) if isinstance(out, TrainBatch) else out
 
     f = shard_map(
         local_gather, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
