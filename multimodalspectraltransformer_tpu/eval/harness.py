@@ -520,10 +520,18 @@ def evaluate_molecules(
     return results, summary
 
 
-def rank_candidates_by_error(res: MoleculeResult, mf_filter: bool = True) -> list[CandidateResult]:
-    """Rank by the average of the HSQC-error rank and COSY-error rank after
-    dedup and molecular-formula filtering
-    (reference `experiment_function_v15_4.py:725-837`)."""
+def rank_candidates_by_error(
+    res: MoleculeResult,
+    mf_filter: bool = True,
+    keys: Sequence[str] = ("hsqc_error", "cosy_error"),
+) -> list[CandidateResult]:
+    """Rank by the average of the per-key ranks (default: HSQC-error rank and
+    COSY-error rank) after dedup and molecular-formula filtering
+    (reference `experiment_function_v15_4.py:725-837`). Passing
+    ``keys=("hsqc_error", "cosy_error", "clip_loss")`` folds a trained CLIP
+    ranker's per-candidate loss into the average the way the reference's
+    CLIP-scored results files feed its ranking analysis
+    (`run_batch_gen_val_MMT_v15_4.py:428-482`)."""
     target_mf = chem.mol_formula(res.target)
     cands = []
     seen = set()
@@ -546,12 +554,17 @@ def rank_candidates_by_error(res: MoleculeResult, mf_filter: bool = True) -> lis
         r[order] = np.arange(len(cands))
         return r
 
-    avg_rank = (ranks("hsqc_error") + ranks("cosy_error")) / 2
+    avg_rank = sum(ranks(k) for k in keys) / len(keys)
     order = np.argsort(avg_rank, kind="stable")
     return [cands[int(j)] for j in order]
 
 
-def top_k_hits(results: Sequence[MoleculeResult], ks=(1, 3, 5, 10, 20), mf_filter: bool = True) -> tuple[dict, int]:
+def top_k_hits(
+    results: Sequence[MoleculeResult],
+    ks=(1, 3, 5, 10, 20),
+    mf_filter: bool = True,
+    keys: Sequence[str] = ("hsqc_error", "cosy_error"),
+) -> tuple[dict, int]:
     """Raw (hits-per-k, denominator) counts behind :func:`top_k_accuracy`.
 
     Exposed separately so multi-chunk drivers can pool accuracies over the
@@ -559,7 +572,7 @@ def top_k_hits(results: Sequence[MoleculeResult], ks=(1, 3, 5, 10, 20), mf_filte
     hits = {k: 0 for k in ks}
     n = 0
     for res in results:
-        ranked = rank_candidates_by_error(res, mf_filter)
+        ranked = rank_candidates_by_error(res, mf_filter, keys=keys)
         if not ranked:
             # molecules whose whole pool was MF-filtered out (or that had
             # no candidates) are excluded from the denominator — the

@@ -69,6 +69,12 @@ def parse_args():
     p.add_argument("--mix", action="store_true",
                    help="also pool the greedy hypothesis per molecule "
                         "(the reference's sampling_method='mix')")
+    p.add_argument("--clip-params", default="",
+                   help="trained CLIP bundle (rank/clip.save_bundle format): "
+                        "score every candidate with the trained ranker and "
+                        "report top-k under CLIP-influenced rankings next to "
+                        "the protocol error-rank table (reference CLIP usage: "
+                        "run_batch_gen_val_MMT_v15_4.py:428-482)")
     p.add_argument("--mw-band", default="",
                    help="restrict the held-out corpus to one MW band 'lo,hi' "
                         "(mirrors the reference's per-band n=1000 sweeps, e.g. "
@@ -209,6 +215,13 @@ def main() -> int:
     template = mmt.init_params(mcfg, jax.random.PRNGKey(0))
     params = ckpt.import_params_msgpack(template, args.params)
 
+    clip_bundle = None
+    if args.clip_params:
+        from multimodalspectraltransformer_tpu.rank import clip as clip_mod
+
+        clip_bundle = clip_mod.load_bundle(args.clip_params)
+        print(f"[acc] trained CLIP ranker loaded from {args.clip_params}", flush=True)
+
     dcfg = DecodeConfig(
         max_len=args.max_len, fanout=args.fanout,
         multinom_runs=args.multinom_runs, max_temp_rounds=args.rounds,
@@ -291,10 +304,16 @@ def main() -> int:
         params_hash = hashlib.sha256(f.read()).hexdigest()[:16]
     if args.beam:
         params_hash += f"+beam{args.beam}"
+    if args.clip_params:
+        # chunks carry per-candidate CLIP scores: a run with(out) or with a
+        # DIFFERENT trained ranker is different work
+        with open(args.clip_params, "rb") as f:
+            params_hash += "+clip" + hashlib.sha256(f.read()).hexdigest()[:8]
 
     chunks = [records[i : i + args.chunk_size] for i in range(0, len(records), args.chunk_size)]
     mols = []
     topk_results = []
+    topk_clip_results = []
     t_all = time.time()
     for ci, chunk in enumerate(chunks):
         path = os.path.join(args.out, f"chunk_{ci:04d}.json")
@@ -316,6 +335,10 @@ def main() -> int:
                 prev = json.load(f)
             if prev.get("digest") == digest:
                 mols.extend(prev["molecules"])
+                if "top_k_hits_clip" in prev:
+                    topk_clip_results.append(
+                        (prev["top_k_hits_clip"], prev["top_k_hits_cliponly"], prev["top_k_n"])
+                    )
                 if "top_k_hits" in prev:
                     topk_results.append((prev["top_k_hits"], prev["top_k_n"]))
                 else:
@@ -331,10 +354,30 @@ def main() -> int:
         results, summary = harness.evaluate_molecules(
             chunk, params, mcfg, dcfg, rng=jax.random.PRNGKey(1000 + ci),
             simulate_errors=True,
+            clip_bundle=clip_bundle,
+            clip_block=dcfg.multinom_runs if clip_bundle else 0,
         )
         hits, topk_n = harness.top_k_hits(results)
         top_k_hits = {str(k): v for k, v in hits.items()}
+        clip_extra = {}
+        if clip_bundle is not None:
+            # same candidates, three rankings: protocol (error ranks only),
+            # error+CLIP rank average, CLIP-only — the delta answers whether
+            # a trained ranker moves top-1-by-error
+            h3, n3 = harness.top_k_hits(
+                results, keys=("hsqc_error", "cosy_error", "clip_loss")
+            )
+            hc, ncx = harness.top_k_hits(results, keys=("clip_loss",))
+            assert n3 == topk_n and ncx == topk_n  # same pool, same filter
+            clip_extra = {
+                "top_k_hits_clip": {str(k): v for k, v in h3.items()},
+                "top_k_hits_cliponly": {str(k): v for k, v in hc.items()},
+            }
+            topk_clip_results.append(
+                (clip_extra["top_k_hits_clip"], clip_extra["top_k_hits_cliponly"], topk_n)
+            )
         payload = {
+            **clip_extra,
             "chunk": ci,
             "digest": digest,
             "wall_s": time.time() - t0,
@@ -401,6 +444,13 @@ def main() -> int:
     for k in ("1", "3", "5", "10", "20"):
         if total_topk_n:
             topk_agg[k] = sum(ch.get(k, 0) for ch, _ in topk_results) / total_topk_n
+    topk_clip_agg: dict[str, float] = {}
+    topk_cliponly_agg: dict[str, float] = {}
+    clip_topk_n = sum(cn for _, _, cn in topk_clip_results)
+    for k in ("1", "3", "5", "10", "20"):
+        if clip_topk_n:
+            topk_clip_agg[k] = sum(c3.get(k, 0) for c3, _, _ in topk_clip_results) / clip_topk_n
+            topk_cliponly_agg[k] = sum(cc.get(k, 0) for _, cc, _ in topk_clip_results) / clip_topk_n
 
     report = {
         "tag": args.tag,
@@ -412,6 +462,9 @@ def main() -> int:
         "corr_sampling_prob": mean("corr_sampling_prob"),
         "top_k_by_error": topk_agg,
         "top_k_n": total_topk_n,
+        **({"top_k_by_error_plus_clip": topk_clip_agg,
+            "top_k_by_clip_only": topk_cliponly_agg,
+            "clip_params": args.clip_params} if topk_clip_agg else {}),
         "mw_bands": bands,
         "wall_s_total": time.time() - t_all,
         "params": args.params,
@@ -470,6 +523,23 @@ def main() -> int:
             f"| top-{k} by spectral-error rank | {v:.3f} "
             f"(n={total_topk_n}; over all {n}: {v_all:.3f}) | - |"
         )
+    if topk_clip_agg:
+        md += [
+            "",
+            "## CLIP re-ranking (trained ranker: `" + args.clip_params + "`)",
+            "",
+            "Same candidate pools, three rankings — the delta vs the protocol",
+            "error-rank table above is what the trained CLIP ranker buys:",
+            "",
+            "| k | error ranks only (protocol) | error + CLIP rank avg | CLIP rank only |",
+            "|---|---|---|---|",
+        ]
+        for k in ("1", "3", "5", "10", "20"):
+            if k in topk_clip_agg:
+                md.append(
+                    f"| {k} | {topk_agg.get(k, 0.0):.3f} | {topk_clip_agg[k]:.3f} "
+                    f"| {topk_cliponly_agg[k]:.3f} |"
+                )
     if bands:
         md += [
             "",

@@ -195,6 +195,40 @@ def test_rank_candidates_by_error_ordering():
     assert acc[1] == 1.0
 
 
+def test_rank_keys_clip_reranking():
+    """Generalized rank keys: folding clip_loss into the rank average can
+    promote a candidate the spectral errors alone would not (the
+    --clip-params re-ranking path in scripts/accuracy_report.py)."""
+    res = harness.MoleculeResult(target="CCO")
+    rows = [  # (smiles, hsqc, cosy, clip_loss)
+        ("CCN", 0.1, 0.1, 0.9),   # best by error, worst by CLIP
+        ("CCO", 0.2, 0.2, 0.0),   # exact: 2nd by error, best by CLIP
+        ("CCC", 0.5, 0.5, 0.5),
+    ]
+    for smi, h, c, cl in rows:
+        cr = harness.CandidateResult(smiles=smi, hsqc_error=h, cosy_error=c, clip_loss=cl)
+        cr.exact = smi == "CCO"
+        res.candidates.append(cr)
+    by_err = harness.rank_candidates_by_error(res, mf_filter=False)
+    assert [c.smiles for c in by_err] == ["CCN", "CCO", "CCC"]
+    # error+clip: CCN avg(0,0,2)=0.67, CCO avg(1,1,0)=0.67 -> stable argsort
+    # keeps CCN first; clip-only flips top-1 to the exact candidate
+    by_clip = harness.rank_candidates_by_error(res, mf_filter=False, keys=("clip_loss",))
+    assert by_clip[0].smiles == "CCO"
+    hits_err, n_err = harness.top_k_hits([res], ks=(1,), mf_filter=False)
+    hits_clip, n_clip = harness.top_k_hits(
+        [res], ks=(1,), mf_filter=False, keys=("clip_loss",)
+    )
+    assert n_err == n_clip == 1
+    assert hits_err[1] == 0 and hits_clip[1] == 1
+    # NaN clip scores (unscored candidates) rank last, not first
+    res2 = harness.MoleculeResult(target="CCO")
+    res2.candidates.append(harness.CandidateResult(smiles="CCN", clip_loss=float("nan")))
+    res2.candidates.append(harness.CandidateResult(smiles="CCO", clip_loss=0.3))
+    ranked2 = harness.rank_candidates_by_error(res2, mf_filter=False, keys=("clip_loss",))
+    assert ranked2[0].smiles == "CCO"
+
+
 def test_mf_filter_in_ranking():
     res = harness.MoleculeResult(target="CCO")
     for smi, h in [("CCO", 0.3), ("OCC", 0.3), ("CCCCC", 0.0)]:  # last: wrong MF
