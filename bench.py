@@ -100,7 +100,8 @@ def main_e2e() -> None:
     if params_path.lower() in ("none", "untrained"):
         params_path = ""
     elif not params_path:
-        for name in ("mmt_r2_params.msgpack", "mmt_r2_params.msgpack.gz",
+        for name in ("mmt_r3_phase1.msgpack.gz", "mmt_r3_phase2.msgpack.gz",
+                     "mmt_r2_params.msgpack", "mmt_r2_params.msgpack.gz",
                      "mmt_r2_70k.msgpack.gz", "mmt_r2_45k.msgpack.gz"):
             default_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                      "weights", name)

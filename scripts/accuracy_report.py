@@ -587,7 +587,7 @@ def main() -> int:
     # only the headline tag owns the top-level ACCURACY.md; variant passes
     # (banded, --mix protocol, probes) write ACCURACY_<tag>.md instead of
     # clobbering the headline report
-    md_name = "ACCURACY.md" if args.tag == "r02" else f"ACCURACY_{args.tag}.md"
+    md_name = "ACCURACY.md" if args.tag in ("r02", "r03") else f"ACCURACY_{args.tag}.md"
     with open(os.path.join(REPO, md_name), "w") as f:
         f.write("\n".join(md) + "\n")
     print(json.dumps(report, indent=1))
