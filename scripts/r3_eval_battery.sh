@@ -62,7 +62,7 @@ timeout 3600 python -u scripts/real_data_demo.py --params "$BEST"
 echo "=== G: CLIP contrastive training (MW-sorted hard negatives) ==="
 timeout 7200 python -u -m multimodalspectraltransformer_tpu.cli train-clip \
   --factory 291006 --factory-seed 3133 --factory-cache /tmp/factory_r3_300k.pkl \
-  --params "$BEST" --tower clip \
+  --params "$P1" --tower clip \
   --out /tmp/run_r3_clip --steps 20000 --epochs 20 --batch-size 256 \
   --lr 1e-4 --eval-n 256 --log-every 100
 
@@ -76,12 +76,6 @@ if [ -f /tmp/run_r3_clip/clip.msgpack ]; then
     --clip-params /tmp/run_r3_clip/clip.msgpack
 fi
 
-echo "=== H: improvement cycle, 120 held-out targets, convergence curve ==="
-timeout 10000 python -u -m multimodalspectraltransformer_tpu.cli improve \
-  --smiles /tmp/ic_targets_120.txt --out /tmp/run_r3_ic \
-  --params "$BEST" --cycles 8 --generations 30 --model-neighbors \
-  --batch-size 16 --lr 5e-5 --threshold 0.4 > /tmp/ic_120.json 2>/tmp/ic_120.log
-
 echo "=== I: tail-averaged phase-1 checkpoint (Polyak mean of last 3 saves) ==="
 PAVG=/tmp/run_r3_phase1/params_avg.msgpack
 timeout 1200 python -u scripts/average_checkpoints.py \
@@ -91,5 +85,12 @@ timeout 1200 python -u scripts/average_checkpoints.py \
   && timeout 5400 python -u scripts/accuracy_report.py --params "$PAVG" \
        --out runs/accuracy_r3_avg --tag r03avg --n 982 \
        --records-cache runs/accuracy_r2b/heldout_csv.tar.gz
+
+
+echo "=== H: improvement cycle, 120 held-out targets, convergence curve ==="
+timeout 10000 python -u -m multimodalspectraltransformer_tpu.cli improve \
+  --smiles /tmp/ic_targets_120.txt --out /tmp/run_r3_ic \
+  --params "$BEST" --cycles 8 --generations 30 --model-neighbors \
+  --batch-size 16 --lr 5e-5 --threshold 0.4 > /tmp/ic_120.json 2>/tmp/ic_120.log
 
 echo "[evals] ALL DONE $(date)"
