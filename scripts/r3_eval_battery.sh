@@ -87,6 +87,9 @@ timeout 1200 python -u scripts/average_checkpoints.py \
        --records-cache runs/accuracy_r2b/heldout_csv.tar.gz
 
 
+echo "=== P3: no-blank polish fine-tune + eval ==="
+bash /tmp/run_phase3.sh
+
 echo "=== H: improvement cycle, 120 held-out targets, convergence curve ==="
 timeout 10000 python -u -m multimodalspectraltransformer_tpu.cli improve \
   --smiles /tmp/ic_targets_120.txt --out /tmp/run_r3_ic \

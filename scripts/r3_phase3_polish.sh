@@ -1,0 +1,21 @@
+#!/bin/bash
+# Phase-3: full-modality polish — fine-tune phase-1 WITHOUT blanking/jitter
+# to restore in-domain sharpness (greedy + 0-250 band); blanking is a
+# device-side transform so the featurized cache is reused as-is.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
+timeout 5400 python -u -m multimodalspectraltransformer_tpu.cli train \
+  --factory 291006 --factory-seed 3133 --factory-cache /tmp/factory_r3_300k.pkl \
+  --params /tmp/run_r3_phase1/params.msgpack \
+  --out /tmp/run_r3_phase3 --bf16 --batch-size 64 --lr 3e-5 \
+  --steps 15000 --epochs 100 --save-every 3000 --val-n 1000 \
+  --augment 2 --log-every 50 --feature-cache /tmp/featcache_r3
+P3=/tmp/run_r3_phase3/params.msgpack
+if [ -f "$P3" ]; then
+  mkdir -p runs/accuracy_r3_p3
+  cp runs/accuracy_r3/heldout_smiles.json runs/accuracy_r3_p3/
+  timeout 5400 python -u scripts/accuracy_report.py --params "$P3" \
+    --out runs/accuracy_r3_p3 --tag r03p3 --n 982 \
+    --records-cache runs/accuracy_r2b/heldout_csv.tar.gz
+fi
