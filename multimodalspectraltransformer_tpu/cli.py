@@ -275,8 +275,22 @@ def cmd_improve(args) -> int:
         include_targets_in_training=args.include_targets,
         model_neighbors=args.model_neighbors,
     )
-    new_params, reports = run_improvement_cycle(cfg, targets, params, icfg)
     os.makedirs(args.out, exist_ok=True)
+    cycles_path = os.path.join(args.out, "cycles.jsonl")
+
+    def _persist(r):
+        # long IC runs can be cut off by a wall-clock budget — append each
+        # cycle's convergence point as it lands so the curve survives
+        with open(cycles_path, "a") as f:
+            f.write(json.dumps({
+                "cycle": r.cycle, "n_augmented": r.n_augmented,
+                "train_loss": r.train_loss,
+                "corr_sampling_prob": r.summary.corr_sampling_prob,
+                "greedy_exact": r.summary.greedy_exact,
+            }) + "\n")
+
+    new_params, reports = run_improvement_cycle(cfg, targets, params, icfg,
+                                                on_cycle=_persist)
     ckpt.export_params_msgpack(new_params, os.path.join(args.out, "params.msgpack"))
     print(json.dumps([
         {"cycle": r.cycle, "n_augmented": r.n_augmented, "train_loss": r.train_loss,

@@ -144,6 +144,18 @@ def load_spectra_csvs(
     return records
 
 
+def ref_testset_split(sample_id: str) -> str:
+    """Stable 50/50 split of the reference's shipped test molecules into an
+    'adapt' half (may supply domain-adaptation training signal — see
+    scripts/sgnn_adapt.py) and an 'eval' half that no training may touch.
+    Keyed on the sample id so the split is identical across loaders,
+    scripts, and sessions."""
+    import hashlib
+
+    h = int(hashlib.sha1(sample_id.encode()).hexdigest(), 16)
+    return "adapt" if h % 2 == 0 else "eval"
+
+
 def load_reference_testset(
     csv_13c: str = "",
     csv_hsqc: str = "",

@@ -157,10 +157,17 @@ def train_shift_model(
     seed: int = 0,
     val_frac: float = 0.05,
     log_every: int = 500,
+    init_params=None,
+    init_stats: Optional[dict] = None,
 ):
     """Distill shift_rules into NMRShiftModel. Returns (params, stats,
     report) where stats is the ShiftStats-compatible normalization dict and
-    report carries held-out ppm MAEs."""
+    report carries held-out ppm MAEs.
+
+    ``init_params``/``init_stats`` warm-start from an existing checkpoint
+    (domain-adaptation fine-tune, e.g. scripts/sgnn_adapt.py): the
+    normalization statistics are kept from the source checkpoint so the
+    factory's denormalization stays compatible."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -173,10 +180,14 @@ def train_shift_model(
     perm = rng.permutation(m)
     val_idx, train_idx = perm[:n_val], perm[n_val:]
 
-    mean_c = float(data["target_c"][data["mask_c"] > 0].mean())
-    std_c = float(data["target_c"][data["mask_c"] > 0].std() + 1e-6)
-    mean_h = float(data["target_h"][data["mask_h"] > 0].mean())
-    std_h = float(data["target_h"][data["mask_h"] > 0].std() + 1e-6)
+    if init_stats is not None:
+        mean_c, std_c = init_stats["mean_c"], init_stats["std_c"]
+        mean_h, std_h = init_stats["mean_h"], init_stats["std_h"]
+    else:
+        mean_c = float(data["target_c"][data["mask_c"] > 0].mean())
+        std_c = float(data["target_c"][data["mask_c"] > 0].std() + 1e-6)
+        mean_h = float(data["target_h"][data["mask_h"] > 0].mean())
+        std_h = float(data["target_h"][data["mask_h"] > 0].std() + 1e-6)
     stats = {"mean_c": mean_c, "std_c": std_c, "mean_h": mean_h, "std_h": std_h}
 
     dev = _park(data, ["nodes", "edges", "n_atoms", "target_c", "mask_c", "target_h", "mask_h"])
@@ -185,7 +196,10 @@ def train_shift_model(
     nodes0, adj0, mask0 = densify_batch(
         dev["nodes"][:2], dev["edges"][:2], dev["n_atoms"][:2]
     )
-    params = jax.jit(model.init)(jax.random.PRNGKey(seed), nodes0, adj0, mask0)["params"]
+    if init_params is not None:
+        params = init_params
+    else:
+        params = jax.jit(model.init)(jax.random.PRNGKey(seed), nodes0, adj0, mask0)["params"]
     # jitted init: eager flax init dispatches per-op through the TPU tunnel (CLAUDE.md)
     tx = optax.adamw(optax.cosine_decay_schedule(lr, n_steps, 0.05))
     opt = tx.init(params)

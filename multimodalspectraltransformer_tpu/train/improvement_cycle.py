@@ -66,6 +66,7 @@ def run_improvement_cycle(
     rng: Optional[jax.Array] = None,
     checkpoint_dir: Optional[str] = None,
     should_stop=None,  # optional callable polled before each cycle (job cancel)
+    on_cycle=None,  # optional callable(CycleReport): persist progress per cycle
 ) -> tuple[Any, list[CycleReport]]:
     """Returns (final params, per-cycle reports)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -143,6 +144,8 @@ def run_improvement_cycle(
             run_mns=icfg.eval_mns,
         )
         reports.append(CycleReport(cycle, len(aug_smiles), result.train_loss, summary))
+        if on_cycle is not None:
+            on_cycle(reports[-1])
         # long runs (100+ targets x many cycles) are monitored from a log
         # tail — emit the convergence signal per cycle, not only at return
         print(

@@ -58,6 +58,12 @@ def parse_args():
     p.add_argument("--ref-modalities", default="1h,13c,hsqc,cosy",
                    help="comma subset of 1h,13c,hsqc,cosy to load from "
                         "--ref-testset (no IR exists there)")
+    p.add_argument("--ref-split", default="all", choices=["all", "eval", "adapt"],
+                   help="restrict --ref-testset molecules to one half of the "
+                        "stable sample-id hash split used by scripts/"
+                        "sgnn_adapt.py: adapted checkpoints MUST be scored "
+                        "with --ref-split eval (the 'adapt' half supplied "
+                        "training signal)")
     p.add_argument("--chunk-size", type=int, default=48)
     p.add_argument("--fanout", type=int, default=128)
     p.add_argument("--multinom-runs", type=int, default=10)
@@ -123,8 +129,13 @@ def main() -> int:
             csv_hsqc=os.path.join(d, "ML_NMR_5M_XL_HSQC_test_10x100.csv") if "hsqc" in mods else "",
             csv_cosy=os.path.join(d, "ML_NMR_5M_XL_COSY_test_10x100.csv") if "cosy" in mods else "",
             csv_1h=os.path.join(d, "ML_NMR_1H_combined_ZINC_test_10x100.csv") if "1h" in mods else "",
-            limit=args.n,
+            limit=0 if args.ref_split != "all" else args.n,
         )
+        if args.ref_split != "all":
+            ref_records = [r for r in ref_records
+                           if dp.ref_testset_split(r.sample_id) == args.ref_split]
+            if args.n:
+                ref_records = ref_records[: args.n]
         # disjointness vs the training corpora is still checked: canonical
         # overlaps are dropped (expected ~0 — the corpora are generated,
         # the test set is ZINC)
@@ -475,6 +486,7 @@ def main() -> int:
         "heldout_seed": args.heldout_seed,
         "ref_testset": args.ref_testset,
         "ref_modalities": args.ref_modalities if args.ref_testset else "",
+        "ref_split": args.ref_split if args.ref_testset else "",
         "reference": {
             "zinc_0_250_mns_exact": 0.911,
             "zinc_0_250_greedy_exact": 0.624,
