@@ -159,6 +159,7 @@ def train_shift_model(
     log_every: int = 500,
     init_params=None,
     init_stats: Optional[dict] = None,
+    weight_decay: float = 1e-4,
 ):
     """Distill shift_rules into NMRShiftModel. Returns (params, stats,
     report) where stats is the ShiftStats-compatible normalization dict and
@@ -201,7 +202,11 @@ def train_shift_model(
     else:
         params = jax.jit(model.init)(jax.random.PRNGKey(seed), nodes0, adj0, mask0)["params"]
     # jitted init: eager flax init dispatches per-op through the TPU tunnel (CLAUDE.md)
-    tx = optax.adamw(optax.cosine_decay_schedule(lr, n_steps, 0.05))
+    # weight_decay=0 for warm-started fine-tunes: decay pulls toward zero,
+    # and adaptation gradients are tiny in the normalized loss (a 4-ppm 13C
+    # error is 0.08 sigma), so the default decay would dominate them
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, n_steps, 0.05),
+                     weight_decay=weight_decay)
     opt = tx.init(params)
 
     def batch_loss(p, idx):

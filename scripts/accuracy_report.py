@@ -64,6 +64,12 @@ def parse_args():
                         "sgnn_adapt.py: adapted checkpoints MUST be scored "
                         "with --ref-split eval (the 'adapt' half supplied "
                         "training signal)")
+    p.add_argument("--sim-weights", default="",
+                   help="alternate shift-GNN weights dir for the harness's "
+                        "candidate-spectra simulation (e.g. sim/weights_sgnn "
+                        "from scripts/sgnn_adapt.py — candidate errors are "
+                        "then scored in the same simulator domain as the "
+                        "--ref-testset inputs)")
     p.add_argument("--chunk-size", type=int, default=48)
     p.add_argument("--fanout", type=int, default=128)
     p.add_argument("--multinom-runs", type=int, default=10)
@@ -233,6 +239,17 @@ def main() -> int:
         clip_bundle = clip_mod.load_bundle(args.clip_params)
         print(f"[acc] trained CLIP ranker loaded from {args.clip_params}", flush=True)
 
+    sim_kwargs = None
+    if args.sim_weights:
+        from multimodalspectraltransformer_tpu.sim import distill
+
+        alt = distill.load_shift_weights(args.sim_weights)
+        if alt is None:
+            raise SystemExit(f"--sim-weights {args.sim_weights}: no weights found")
+        sim_kwargs = {"shift_params": alt[0], "shift_model": alt[1], "stats": alt[2]}
+        print(f"[acc] candidate simulation uses shift weights from "
+              f"{args.sim_weights}", flush=True)
+
     dcfg = DecodeConfig(
         max_len=args.max_len, fanout=args.fanout,
         multinom_runs=args.multinom_runs, max_temp_rounds=args.rounds,
@@ -365,6 +382,7 @@ def main() -> int:
         results, summary = harness.evaluate_molecules(
             chunk, params, mcfg, dcfg, rng=jax.random.PRNGKey(1000 + ci),
             simulate_errors=True,
+            sim_kwargs=sim_kwargs,
             clip_bundle=clip_bundle,
             clip_block=dcfg.multinom_runs if clip_bundle else 0,
         )
@@ -487,6 +505,7 @@ def main() -> int:
         "ref_testset": args.ref_testset,
         "ref_modalities": args.ref_modalities if args.ref_testset else "",
         "ref_split": args.ref_split if args.ref_testset else "",
+        "sim_weights": args.sim_weights,
         "reference": {
             "zinc_0_250_mns_exact": 0.911,
             "zinc_0_250_greedy_exact": 0.624,

@@ -406,6 +406,7 @@ def main():
         data, hidden=hid, steps=gsteps,
         batch_size=args.batch_size, n_steps=args.steps, lr=args.lr,
         seed=args.seed, val_frac=0.08, log_every=200,
+        weight_decay=0.0,
         init_params=params0,
         init_stats={"mean_c": stats0.mean_c, "std_c": stats0.std_c,
                     "mean_h": stats0.mean_h, "std_h": stats0.std_h})
