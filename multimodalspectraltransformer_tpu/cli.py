@@ -155,6 +155,8 @@ def cmd_train(args) -> int:
             blank_percentage=getattr(args, "blank", 0.0),
             jitter_1h_ppm=getattr(args, "jitter_1h", 0.0),
             jitter_13c_ppm=getattr(args, "jitter_13c", 0.0),
+            warp_1h_ppm=getattr(args, "warp_1h", 0.0),
+            warp_13c_ppm=getattr(args, "warp_13c", 0.0),
         ),
         data=DataConfig(batch_size=args.batch_size),
     )
@@ -446,6 +448,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "domain randomization; half the samples per batch)")
     sp.add_argument("--jitter-13c", type=float, default=0.0,
                     help="device-side per-peak 13C ppm jitter sigma")
+    sp.add_argument("--warp-1h", type=float, default=0.0,
+                    help="device-side smooth 1H-axis warp sigma (ppm), "
+                         "applied consistently to 1H/HSQC-H/COSY coordinates "
+                         "(structured sim2real randomization: models a "
+                         "different simulator, not per-peak noise)")
+    sp.add_argument("--warp-13c", type=float, default=0.0,
+                    help="device-side smooth 13C-axis warp sigma (ppm), "
+                         "applied consistently to 13C peaks and HSQC "
+                         "C-coordinates")
     sp.add_argument("--blank-host", type=float, default=0.0,
                     help="legacy host-side blanking during featurization "
                          "(stochastic featurization; forces the slow host "

@@ -234,6 +234,15 @@ def run_training(
                 batch_iter = _prefetch(train_loader.epoch(epoch), put_batch)
             last_m = None
             for b in batch_iter:
+                if cfg.train.warp_1h_ppm > 0 or cfg.train.warp_13c_ppm > 0:
+                    from .step import warp_spectra_device
+
+                    b = warp_spectra_device(
+                        b,
+                        jax.random.fold_in(jax.random.fold_in(rng, 0x3A7B), step_count),
+                        cfg.train.warp_1h_ppm, cfg.train.warp_13c_ppm,
+                        cfg.train.jitter_gate_p,
+                    )
                 if cfg.train.jitter_1h_ppm > 0 or cfg.train.jitter_13c_ppm > 0:
                     from .step import jitter_spectra_device
 

@@ -143,6 +143,76 @@ def jitter_spectra_device(
     )
 
 
+@partial(jax.jit, static_argnames=("sigma_h", "sigma_c", "gate_p", "knots_h", "knots_c"))
+def warp_spectra_device(
+    batch: TrainBatch,
+    rng: jax.Array,
+    sigma_h: float = 0.3,
+    sigma_c: float = 4.0,
+    gate_p: float = 0.5,
+    knots_h: int = 5,
+    knots_c: int = 6,
+) -> TrainBatch:
+    """Per-sample smooth random warp of the ppm AXES, applied consistently
+    across modalities — the structured half of sim2real domain
+    randomization.
+
+    Motivation (measured): a different NMR simulator does not add i.i.d.
+    noise per peak — it moves *chemical environments* coherently, so a
+    carbon's 13C peak and its HSQC C-coordinate stay equal to each other
+    while both disagree with our simulator by several ppm (shipped SGNN
+    test spectra vs our factory: ~3 ppm 13C NN-MAE with cross-modality
+    consistency intact). i.i.d. per-peak jitter (`jitter_spectra_device`)
+    breaks exactly that consistency at train time, teaching the model that
+    modalities can't be cross-matched — which is why jitter alone failed to
+    transfer (phase-2: 0.000 on the reference test set).
+
+    Mechanism: per sample, draw offsets at a few fixed knots spanning the
+    ppm axis and add their linear interpolation to every coordinate on
+    that axis — the SAME warp for 13C peaks and HSQC C-coordinates (carbon
+    axis), and the SAME warp for 1H, HSQC H- and both COSY coordinates
+    (proton axis). Knot spacing (~45 ppm 13C / ~3 ppm 1H) keeps the warp
+    smooth; sigmas of a few ppm keep it monotone (slope perturbation
+    << 1). Padded slots stay exactly zero; each sample is warped with
+    probability ``gate_p``. Sigmas are in ppm (normalized internally by
+    the 10/200 featurization scales, `data/pipeline.py:424-455`)."""
+    inp = batch.inputs
+    B = inp.mw.shape[0]
+    ks = jax.random.split(rng, 3)
+    gate = (jax.random.uniform(ks[0], (B,)) < gate_p).astype(inp.src_1h.dtype)
+    # knot positions in normalized units: 13C -10..230 ppm, 1H -0.5..11.5 ppm
+    kc = jnp.linspace(-0.05, 1.15, knots_c)
+    kh = jnp.linspace(-0.05, 1.15, knots_h)
+    dc = jax.random.normal(ks[1], (B, knots_c)) * (sigma_c / 200.0) * gate[:, None]
+    dh = jax.random.normal(ks[2], (B, knots_h)) * (sigma_h / 10.0) * gate[:, None]
+
+    warp_c = jax.vmap(lambda x, d: x + jnp.interp(x, kc, d))
+    warp_h = jax.vmap(lambda x, d: x + jnp.interp(x, kh, d))
+    live = lambda mask: mask == 0
+
+    s13c = jnp.where(live(inp.mask_13c), warp_c(inp.src_13c, dc), inp.src_13c)
+    s1h = inp.src_1h.at[..., 0].set(
+        jnp.where(live(inp.mask_1h), warp_h(inp.src_1h[..., 0], dh), inp.src_1h[..., 0])
+    )
+    shsqc = jnp.stack(
+        [
+            jnp.where(live(inp.mask_hsqc), warp_h(inp.src_hsqc[..., 0], dh), inp.src_hsqc[..., 0]),
+            jnp.where(live(inp.mask_hsqc), warp_c(inp.src_hsqc[..., 1], dc), inp.src_hsqc[..., 1]),
+        ],
+        axis=-1,
+    )
+    scosy = jnp.stack(
+        [
+            jnp.where(live(inp.mask_cosy), warp_h(inp.src_cosy[..., 0], dh), inp.src_cosy[..., 0]),
+            jnp.where(live(inp.mask_cosy), warp_h(inp.src_cosy[..., 1], dh), inp.src_cosy[..., 1]),
+        ],
+        axis=-1,
+    )
+    return batch._replace(
+        inputs=inp._replace(src_1h=s1h, src_13c=s13c, src_hsqc=shsqc, src_cosy=scosy)
+    )
+
+
 def loss_fn(params, model: MultimodalTransformer, cfg: MMTConfig, batch: TrainBatch, rng):
     if cfg.train.mixed_precision and cfg.model.dtype != "bfloat16":
         # bf16 forward/backward: rebuild the model with bfloat16 COMPUTE

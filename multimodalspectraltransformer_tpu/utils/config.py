@@ -258,6 +258,13 @@ class TrainConfig:
     jitter_13c_ppm: float = 0.0
     jitter_gate_p: float = 0.5  # fraction of samples jittered per batch
 
+    # device-side smooth per-sample ppm-AXIS warp, applied consistently
+    # across modalities (structured sim2real randomization — models a
+    # *different simulator*, which moves environments coherently rather
+    # than per-peak; train/step.warp_spectra_device). 0 = off.
+    warp_1h_ppm: float = 0.0
+    warp_13c_ppm: float = 0.0
+
     checkpoint_dir: str = "checkpoints"
     save_interval_steps: int = 1000
     keep_checkpoints: int = 3

@@ -340,3 +340,77 @@ def test_jitter_spectra_device():
     none = jitter_spectra_device(batch, rng, 0.2, 3.0, gate_p=0.0)
     for a, b in zip(jax.tree.leaves(none), jax.tree.leaves(batch)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warp_spectra_device():
+    """The axis warp is CONSISTENT across modalities (the property i.i.d.
+    jitter lacks): equal carbon coordinates move equally in 13C and HSQC-C,
+    equal proton coordinates move equally in 1H/HSQC-H/COSY; it is smooth
+    (monotone at a few ppm sigma), leaves padded slots zero, intensities /
+    masks / targets untouched, and is the identity at gate_p=0."""
+    from multimodalspectraltransformer_tpu.data import pipeline as dp
+    from multimodalspectraltransformer_tpu.train.step import warp_spectra_device
+
+    mcfg = CFG.model
+    records = dp.synthetic_dataset(16, seed=12)
+    batch = next(iter(dp.Loader(records, mcfg, batch_size=16).epoch(0)))
+    batch = jax.tree.map(jnp.asarray, batch)
+    rng = jax.random.PRNGKey(7)
+
+    out = warp_spectra_device(batch, rng, 0.3, 4.0, gate_p=1.0)
+    i, o = batch.inputs, out.inputs
+
+    # padded slots unchanged (exactly zero)
+    pad13 = np.asarray(i.mask_13c) == 1
+    np.testing.assert_array_equal(np.asarray(o.src_13c)[pad13], 0.0)
+    padh = np.asarray(i.mask_hsqc) == 1
+    np.testing.assert_array_equal(np.asarray(o.src_hsqc)[padh], 0.0)
+
+    # live 13C moved, a few ppm in normalized units
+    live13 = ~pad13
+    d13 = (np.asarray(o.src_13c) - np.asarray(i.src_13c))[live13]
+    assert np.abs(d13).max() > 0
+    assert np.abs(d13).max() < 8 * 4.0 / 200
+
+    # CONSISTENCY: warp applied to an HSQC C-coordinate equals the warp the
+    # same ppm value receives on the 13C axis (same sample)
+    src13 = np.asarray(i.src_13c)
+    out13 = np.asarray(o.src_13c)
+    srch = np.asarray(i.src_hsqc)
+    outh = np.asarray(o.src_hsqc)
+    m13 = np.asarray(i.mask_13c) == 0
+    mh = np.asarray(i.mask_hsqc) == 0
+    checked = 0
+    for b in range(src13.shape[0]):
+        for p in range(srch.shape[1]):
+            if not mh[b, p]:
+                continue
+            cval = srch[b, p, 1]
+            close = np.where(m13[b] & (np.abs(src13[b] - cval) < 1e-6))[0]
+            if len(close):
+                np.testing.assert_allclose(
+                    outh[b, p, 1], out13[b, close[0]], rtol=0, atol=1e-5
+                )
+                checked += 1
+    assert checked > 0  # the synthetic records do share C coordinates
+
+    # monotone on the 13C axis: order of live peaks preserved per sample
+    for b in range(src13.shape[0]):
+        lv = m13[b]
+        if lv.sum() < 2:
+            continue
+        order_in = np.argsort(src13[b][lv], kind="stable")
+        order_out = np.argsort(out13[b][lv], kind="stable")
+        np.testing.assert_array_equal(order_in, order_out)
+
+    # 1H intensities, masks, IR, targets untouched
+    np.testing.assert_array_equal(
+        np.asarray(o.src_1h)[..., 1], np.asarray(i.src_1h)[..., 1]
+    )
+    np.testing.assert_array_equal(np.asarray(o.mask_13c), np.asarray(i.mask_13c))
+    np.testing.assert_array_equal(np.asarray(o.src_ir), np.asarray(i.src_ir))
+    np.testing.assert_array_equal(np.asarray(out.trg_tokens), np.asarray(batch.trg_tokens))
+
+    none = warp_spectra_device(batch, rng, 0.3, 4.0, gate_p=0.0)
+    for a, b in zip(jax.tree.leaves(none), jax.tree.leaves(batch)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
