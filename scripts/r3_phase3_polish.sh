@@ -2,16 +2,24 @@
 # Phase-3: full-modality polish — fine-tune phase-1 WITHOUT blanking/jitter
 # to restore in-domain sharpness (greedy + 0-250 band); blanking is a
 # device-side transform so the featurized cache is reused as-is.
+#
+# Prerequisite (host): the in-domain 291k keyed cache —
+#   python scripts/make_r3_corpus.py --out /root/repo/.cache/corpus_r3_300k.txt
+#   python scripts/build_factory_cache.py --corpus /root/repo/.cache/corpus_r3_300k.txt \
+#       --n 291006 --seed 3133 --out /root/repo/.cache/factory_r3_300k.pkl --cpu
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
-timeout 5400 python -u -m multimodalspectraltransformer_tpu.cli train \
-  --factory 291006 --factory-seed 3133 --factory-cache /tmp/factory_r3_300k.pkl \
-  --params /tmp/run_r3_phase1/params.msgpack \
-  --out /tmp/run_r3_phase3 --bf16 --batch-size 64 --lr 3e-5 \
+CACHE=${P3_CACHE:-/root/repo/.cache/factory_r3_300k.pkl}
+INIT=${P3_INIT:-weights/mmt_r3_phase1.msgpack.gz}
+OUT=${P3_OUT:-/root/repo/.cache/run_r3_phase3}
+timeout 9000 python -u -m multimodalspectraltransformer_tpu.cli train \
+  --factory 291006 --factory-seed 3133 --factory-cache "$CACHE" \
+  --params "$INIT" \
+  --out "$OUT" --bf16 --batch-size 64 --lr 3e-5 \
   --steps 15000 --epochs 100 --save-every 3000 --val-n 1000 \
-  --augment 2 --log-every 50 --feature-cache /tmp/featcache_r3
-P3=/tmp/run_r3_phase3/params.msgpack
+  --augment 2 --log-every 50 --feature-cache /root/repo/.cache/featcache_r3
+P3="$OUT/params.msgpack"
 if [ -f "$P3" ]; then
   mkdir -p runs/accuracy_r3_p3
   cp runs/accuracy_r3/heldout_smiles.json runs/accuracy_r3_p3/
