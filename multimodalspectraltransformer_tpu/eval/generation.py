@@ -187,6 +187,11 @@ def generate_candidates_batch(
         )
         return res, lanes
 
+    import os
+    import time as _time
+
+    prof = os.environ.get("MMT_EVAL_PROFILE") == "1"
+
     active = list(range(B))
     pending, pend_lanes = dispatch(0, active)
     for round_idx in range(dcfg.max_temp_rounds):
@@ -204,8 +209,10 @@ def generate_candidates_batch(
         else:
             nxt = None
         W = len(pend_lanes)
+        _t0 = _time.perf_counter()
         tokens = np.asarray(pending.tokens).reshape(W, F, -1)
         probs = np.asarray(pending.token_probs).reshape(W, F, -1)
+        _t1 = _time.perf_counter()
         # consume each unsatisfied molecule's first lane-row (pad rows
         # repeat the last molecule; satisfied molecules' rows are discarded)
         consume: list[tuple[int, int]] = []
@@ -244,6 +251,14 @@ def generate_candidates_batch(
             ]
             if newly:
                 on_round_accepted(newly)
+        if prof:
+            print(
+                f"  [mns-profile] round {round_idx}: width {W} "
+                f"wait+fetch {(_t1 - _t0) * 1000:7.1f} ms "
+                f"filter {(_time.perf_counter() - _t1) * 1000:7.1f} ms "
+                f"({len(consume)} consumed)",
+                flush=True,
+            )
         active = [b for b in range(B) if len(outs[b].smiles) < want]
         if not active:
             break
