@@ -26,4 +26,13 @@ if [ -f "$P3" ]; then
   timeout 5400 python -u scripts/accuracy_report.py --params "$P3" \
     --out runs/accuracy_r3_p3 --tag r03p3 --n 982 \
     --records-cache runs/accuracy_r2b/heldout_csv.tar.gz
+  # pool-recall variant: beam hypotheses + greedy folded into the MNS
+  # candidate pool (the flat top-k curve says recall, not ranking, binds
+  # the 0-250 band — VERDICT r2 missing #4)
+  mkdir -p runs/accuracy_r3_p3bm
+  cp runs/accuracy_r3/heldout_smiles.json runs/accuracy_r3_p3bm/
+  timeout 5400 python -u scripts/accuracy_report.py --params "$P3" \
+    --out runs/accuracy_r3_p3bm --tag r03p3bm --n 982 \
+    --records-cache runs/accuracy_r2b/heldout_csv.tar.gz \
+    --beam 5 --mix
 fi
