@@ -186,6 +186,9 @@ def main() -> int:
         heldout_key["exclude_corpus_file"] = args.exclude_corpus_file
     if heldout_path is None:
         heldout = [r.smiles for r in ref_records]
+        # a --ref-split half holds ~500 molecules: evaluate the whole
+        # split rather than tripping the too-few assertion below
+        args.n = min(args.n, len(heldout))
     elif os.path.exists(heldout_path):
         with open(heldout_path) as f:
             cached = json.load(f)
