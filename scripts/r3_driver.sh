@@ -28,28 +28,52 @@ SGNN_PARAMS=/root/repo/.cache/run_r3_sgnn/params.msgpack
 STALE=${STALE:-900}
 LOG() { echo "[driver $(date +%H:%M:%S)] $*"; }
 
+# total CPU ticks (utime+stime) of every process in process group $1 —
+# distinguishes "hung on a dead relay socket" (0 CPU) from "XLA compiling
+# host-side with no log output" (busy), which can legitimately stay quiet
+# longer than any stale threshold on cold caches.
+grp_cpu() {
+  local g=$1 total=0 p rest
+  for p in $(ps -eo pid=,pgid= | awk -v g="$g" '$2==g{print $1}'); do
+    [ -r "/proc/$p/stat" ] || continue
+    rest=$(sed 's/.*) //' "/proc/$p/stat" 2>/dev/null) || continue
+    # after stripping "pid (comm) ": state=1, ..., utime=12, stime=13
+    set -- $rest
+    total=$((total + ${12:-0} + ${13:-0}))
+  done
+  echo "$total"
+}
+
 # guard <log> <hard-timeout-secs> <cmd...>
-# Appends cmd's output to <log>; kills the whole process group if the log
-# goes stale for >$STALE s or the hard timeout passes. Returns the command's
-# exit code, or 9 on a guard kill.
+# Appends cmd's output to <log>. Kills the whole process group when the
+# log goes stale >$STALE s AND the group burned <1 s CPU over the last
+# check interval (idle-hang), or on the hard timeout. Returns the
+# command's exit code, or 9 on a guard kill.
 guard() {
   local log=$1 tmo=$2; shift 2
   touch "$log"
   setsid "$@" >> "$log" 2>&1 &
   local pid=$!
-  local start now m
+  local start now m cpu_prev cpu_now
   start=$(date +%s)
+  cpu_prev=$(grp_cpu "$pid")
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
     now=$(date +%s)
     m=$(stat -c %Y "$log" 2>/dev/null || echo "$now")
-    if [ $((now - start)) -gt "$tmo" ] || [ $((now - m)) -gt "$STALE" ]; then
-      LOG "guard: killing pgid $pid ($([ $((now - m)) -gt "$STALE" ] && echo "log stale $((now - m))s" || echo "hard timeout")) [$log]"
-      kill -TERM -- -"$pid" 2>/dev/null
-      sleep 15
-      kill -KILL -- -"$pid" 2>/dev/null
-      return 9
+    cpu_now=$(grp_cpu "$pid")
+    if [ $((now - start)) -gt "$tmo" ]; then
+      LOG "guard: killing pgid $pid (hard timeout) [$log]"
+    elif [ $((now - m)) -gt "$STALE" ] && [ $((cpu_now - cpu_prev)) -lt 100 ]; then
+      LOG "guard: killing pgid $pid (log stale $((now - m))s, group CPU idle) [$log]"
+    else
+      cpu_prev=$cpu_now
+      continue
     fi
+    kill -TERM -- -"$pid" 2>/dev/null
+    sleep 15
+    kill -KILL -- -"$pid" 2>/dev/null
+    return 9
   done
   wait "$pid"
 }
