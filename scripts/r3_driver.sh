@@ -51,16 +51,23 @@ grp_cpu() {
 # command's exit code, or 9 on a guard kill.
 guard() {
   local log=$1 tmo=$2; shift 2
+  # Liveness file: $WATCH if set (e.g. a metrics.jsonl that training appends
+  # to — the train CLI prints NOTHING to stdout between steps, so watching
+  # the stdout log makes every healthy >STALE-s run depend solely on the CPU
+  # conjunct), else the stdout log. Staleness = newest mtime of either.
+  local watch=${WATCH:-$log}
   touch "$log"
   setsid "$@" >> "$log" 2>&1 &
   local pid=$!
-  local start now m cpu_prev cpu_now
+  local start now m m2 cpu_prev cpu_now
   start=$(date +%s)
   cpu_prev=$(grp_cpu "$pid")
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
     now=$(date +%s)
     m=$(stat -c %Y "$log" 2>/dev/null || echo "$now")
+    m2=$(stat -c %Y "$watch" 2>/dev/null || echo 0)
+    [ "$m2" -gt "$m" ] && m=$m2
     cpu_now=$(grp_cpu "$pid")
     if [ $((now - start)) -gt "$tmo" ]; then
       LOG "guard: killing pgid $pid (hard timeout) [$log]"
@@ -116,14 +123,19 @@ if [ ! -f ACCURACY_r03sgnn1h.json ] && [ -f "$SGNN_PARAMS" ]; then
 fi
 
 # --- P3: polish fine-tune (featcache prewarmed) ---
+# save-every 800 (was 3000): the silent-client-death hang recurred twice
+# tonight at ~step 1050 and ~2650 — with save-every above the typical
+# progress-before-hang, every retry restarted from step 0 and the stage
+# could loop forever. Frequent Orbax ckpts make retries monotonic.
 if [ ! -f /root/repo/.cache/run_r3_phase3/params.msgpack ]; then
   LOG "P3: polish fine-tune"
-  retry 6 /tmp/p3_train.log 9500 python -u -m multimodalspectraltransformer_tpu.cli train \
+  WATCH=/root/repo/.cache/run_r3_phase3/metrics.jsonl \
+  retry 10 /tmp/p3_train.log 9500 python -u -m multimodalspectraltransformer_tpu.cli train \
     --factory 291006 --factory-seed 3133 \
     --factory-cache /root/repo/.cache/factory_r3_300k.pkl \
     --params weights/mmt_r3_phase1.msgpack.gz \
     --out /root/repo/.cache/run_r3_phase3 --bf16 --batch-size 64 --lr 3e-5 \
-    --steps 15000 --epochs 100 --save-every 3000 --val-n 1000 \
+    --steps 15000 --epochs 100 --save-every 800 --val-n 1000 \
     --augment 2 --log-every 50 \
     --feature-cache /root/repo/.cache/featcache_r3 || LOG "P3 train FAILED"
 fi
@@ -155,6 +167,7 @@ done
 # --- CL: CLIP contrastive training + re-rank eval ---
 if [ ! -f /root/repo/.cache/run_r3_clip/clip.msgpack ]; then
   LOG "CLIP training"
+  WATCH=/root/repo/.cache/run_r3_clip/metrics.jsonl \
   retry 3 /tmp/clip_r3.log 10000 python -u -m multimodalspectraltransformer_tpu.cli train-clip \
     --factory 291006 --factory-seed 3133 \
     --factory-cache /root/repo/.cache/factory_r3_300k.pkl \
