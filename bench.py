@@ -100,8 +100,11 @@ def main_e2e() -> None:
     if params_path.lower() in ("none", "untrained"):
         params_path = ""
     elif not params_path:
-        for name in ("mmt_r3_phase1.msgpack.gz", "mmt_r3_phase2.msgpack.gz",
-                     "mmt_r2_params.msgpack", "mmt_r2_params.msgpack.gz",
+        # explicit preference order over committed files only — never a
+        # speculative name (a future commit by that name would silently
+        # change the bench basis; VERDICT r3 weak #8). The basename is
+        # pinned into the metric string below.
+        for name in ("mmt_r3_phase1.msgpack.gz",
                      "mmt_r2_70k.msgpack.gz", "mmt_r2_45k.msgpack.gz"):
             default_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                      "weights", name)
@@ -189,7 +192,7 @@ def main_e2e() -> None:
             f"mols/sec/chip FULL pipeline: encode + greedy + 128-way MNS "
             f"(10 candidates, temp escalation) + filters + {clip_desc} + simulated "
             f"HSQC/COSY spectral-error ranking ({len(results)} molecules, "
-            f"{'trained checkpoint, model-sampled candidates' if trained else 'untrained weights, injected candidates'}, "
+            f"{'trained checkpoint ' + os.path.basename(params_path) + ', model-sampled candidates' if trained else 'untrained weights, injected candidates'}, "
             f"best of {reps} reps; mean-of-reps in mols_per_sec_mean; "
             "baseline = reference V100 same pipeline 83 s/mol)"
         ),

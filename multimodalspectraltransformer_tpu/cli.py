@@ -157,6 +157,8 @@ def cmd_train(args) -> int:
             jitter_13c_ppm=getattr(args, "jitter_13c", 0.0),
             warp_1h_ppm=getattr(args, "warp_1h", 0.0),
             warp_13c_ppm=getattr(args, "warp_13c", 0.0),
+            ss_prob=getattr(args, "ss_prob", 0.0),
+            ss_ramp_steps=getattr(args, "ss_ramp", 2000),
         ),
         data=DataConfig(batch_size=args.batch_size),
     )
@@ -457,6 +459,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="device-side smooth 13C-axis warp sigma (ppm), "
                          "applied consistently to 13C peaks and HSQC "
                          "C-coordinates")
+    sp.add_argument("--ss-prob", type=float, default=0.0,
+                    help="two-pass scheduled-sampling mix-in probability "
+                         "(exposure-bias mitigation; decoder inputs are "
+                         "replaced by the model's own sampled predictions "
+                         "at this ramped per-position rate)")
+    sp.add_argument("--ss-ramp", type=int, default=2000,
+                    help="steps to ramp --ss-prob from 0 to its full value")
     sp.add_argument("--blank-host", type=float, default=0.0,
                     help="legacy host-side blanking during featurization "
                          "(stochastic featurization; forces the slow host "

@@ -106,6 +106,7 @@ def generate_candidates_batch(
     target_mws: Optional[list] = None,
     compute_dtype: Optional[str] = None,
     on_round_accepted=None,
+    max_len: Optional[int] = None,  # override dcfg.max_len (length banding)
 ) -> list[CandidateSet]:
     """Fan-out sampling for a whole batch of molecules in one compiled loop
     per round (the per-molecule variant leaves the chip idle between tiny
@@ -128,6 +129,7 @@ def generate_candidates_batch(
     seens: list[set] = [set() for _ in range(B)]
     want = dcfg.multinom_runs
     compute_dtype = compute_dtype or dcfg.compute_dtype
+    decode_len = max_len if max_len is not None else dcfg.max_len
 
     # optional beam augmentation (dcfg.beam_candidates > 0): dispatch one
     # batched beam decode up front; its hypotheses are merged into each
@@ -138,7 +140,7 @@ def generate_candidates_batch(
     if dcfg.beam_candidates > 0:
         beam_pending = samplers.beam_search(
             params, mcfg, memory, memory_kpm,
-            beam_size=dcfg.beam_candidates, max_len=dcfg.max_len,
+            beam_size=dcfg.beam_candidates, max_len=decode_len,
             compute_dtype=compute_dtype,
         )
 
@@ -183,7 +185,7 @@ def generate_candidates_batch(
         res = samplers.multinomial_decode(
             params, mcfg, mem, kpm,
             jax.random.fold_in(rng, round_idx), lane_temp,
-            dcfg.max_len, fanout=F, compute_dtype=compute_dtype,
+            decode_len, fanout=F, compute_dtype=compute_dtype,
         )
         return res, lanes
 

@@ -246,8 +246,24 @@ def evaluate_molecules(
     mark("tf_dispatch")
     from ..decode import samplers as _samplers
 
+    # Decode-length banding (DecodeConfig.band_max_len): the targets are in
+    # hand, so quantize the decode length to the smallest of {40, 56,
+    # max_len} covering the longest target plus a 12-token margin — decode
+    # cost is linear in the while_loop trip count, and a light-molecule
+    # batch pays 40 sequential steps instead of 64. Over-margin candidates
+    # would be MW-filter rejects anyway.
+    decode_len = dcfg.max_len
+    if dcfg.band_max_len:
+        # trg rows are <SOS> ... <EOS> <PAD>*; generated sequences carry no
+        # <SOS>, so the needed length is (non-pad count - 1) + margin
+        tmax = int((np.asarray(tb.trg_tokens) != vocab.PAD_ID).sum(axis=1).max())
+        need = tmax - 1 + 12
+        for cand in (40, 56):
+            if need <= cand < dcfg.max_len:
+                decode_len = cand
+                break
     greedy_pending = _samplers.greedy_decode(
-        params, mcfg, enc.memory, enc.memory_key_padding_mask, 1.0, dcfg.max_len,
+        params, mcfg, enc.memory, enc.memory_key_padding_mask, 1.0, decode_len,
         compute_dtype=dcfg.compute_dtype,
     )
 
@@ -291,6 +307,7 @@ def evaluate_molecules(
             jax.random.fold_in(rng, 1), dcfg,
             target_mws=[float(f["mw"]) for f in feats],
             on_round_accepted=on_accept,
+            max_len=decode_len,
         )
 
     seq_probs = np.asarray(tf_pending)  # corr_sampling_prob

@@ -213,7 +213,7 @@ def warp_spectra_device(
     )
 
 
-def loss_fn(params, model: MultimodalTransformer, cfg: MMTConfig, batch: TrainBatch, rng):
+def loss_fn(params, model: MultimodalTransformer, cfg: MMTConfig, batch: TrainBatch, rng, step=0):
     if cfg.train.mixed_precision and cfg.model.dtype != "bfloat16":
         # bf16 forward/backward: rebuild the model with bfloat16 COMPUTE
         # dtype (each layer casts its weights at use, so the differentiated
@@ -222,13 +222,47 @@ def loss_fn(params, model: MultimodalTransformer, cfg: MMTConfig, batch: TrainBa
         import dataclasses
 
         model = MultimodalTransformer(dataclasses.replace(cfg.model, dtype="bfloat16"))
-    logits, fp_logits, _, _ = model.apply(
-        {"params": params},
-        batch.inputs,
-        batch.trg_tokens[:, :-1],
-        False,
-        rngs={"dropout": rng},
-    )
+    if cfg.train.ss_prob > 0.0:
+        # Two-pass scheduled sampling (see TrainConfig.ss_prob). Encode
+        # once (dropout on, as in the plain path); decode twice: a
+        # gradient-stopped deterministic pass supplies the model's own
+        # token predictions, which replace ground-truth decoder inputs at
+        # a ramped per-position rate; the loss comes from the second pass.
+        r_enc, r_samp, r_mix, r_dec = jax.random.split(rng, 4)
+        enc = model.apply(
+            {"params": params}, batch.inputs, False,
+            method=MultimodalTransformer.encode, rngs={"dropout": r_enc},
+        )
+        dec_in = batch.trg_tokens[:, :-1]  # [B, T], col 0 = <SOS>
+        logits1 = model.apply(
+            {"params": params}, dec_in, enc.memory,
+            enc.memory_key_padding_mask, True,
+            method=MultimodalTransformer.decode,
+        )
+        logits1 = jax.lax.stop_gradient(logits1.astype(jnp.float32))
+        sampled = jax.random.categorical(r_samp, logits1)  # [B, T] int32
+        # logits1[:, t] predicts the token at input position t+1:
+        pred_for_pos = jnp.concatenate([dec_in[:, :1], sampled[:, :-1]], axis=1)
+        ramp = jnp.clip(step / max(cfg.train.ss_ramp_steps, 1), 0.0, 1.0)
+        p_live = cfg.train.ss_prob * ramp
+        coin = jax.random.bernoulli(r_mix, p_live, dec_in.shape)
+        pos = jnp.arange(dec_in.shape[1])[None, :]
+        replace = coin & (dec_in != vocab.PAD_ID) & (pos >= 1)
+        mixed = jnp.where(replace, pred_for_pos, dec_in)
+        logits = model.apply(
+            {"params": params}, mixed, enc.memory,
+            enc.memory_key_padding_mask, False,
+            method=MultimodalTransformer.decode, rngs={"dropout": r_dec},
+        )
+        fp_logits = enc.fingerprint
+    else:
+        logits, fp_logits, _, _ = model.apply(
+            {"params": params},
+            batch.inputs,
+            batch.trg_tokens[:, :-1],
+            False,
+            rngs={"dropout": rng},
+        )
     logits = logits.astype(jnp.float32)
     fp_logits = fp_logits.astype(jnp.float32)
     out = loss_mod.total_loss(
@@ -263,7 +297,7 @@ def train_step(
             jax.random.bits(step_rng, (), "uint32"), impl="unsafe_rbg"
         )
     (total, (out, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, model, cfg, batch, step_rng
+        state.params, model, cfg, batch, step_rng, state.step
     )
     gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
     new_state = apply_grads(cfg.train, state, grads, total)

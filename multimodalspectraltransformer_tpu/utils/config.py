@@ -265,6 +265,18 @@ class TrainConfig:
     warp_1h_ppm: float = 0.0
     warp_13c_ppm: float = 0.0
 
+    # two-pass scheduled sampling (exposure-bias mitigation): with
+    # probability ss_prob (linearly ramped over ss_ramp_steps) each non-pad
+    # decoder-input token is replaced by the model's OWN sampled prediction
+    # from a first, gradient-stopped teacher-forced pass; the loss is
+    # computed on a second pass over the mixed inputs. Parallel two-pass
+    # formulation (Mihaylova & Martins 2019) rather than the reference's
+    # sequential in-training generation hook
+    # (`models_MMT_v15_4.py:1222-1297`) — one extra decoder GEMM pass
+    # instead of max_len sequential steps. 0 = off (single-pass parity).
+    ss_prob: float = 0.0
+    ss_ramp_steps: int = 2000
+
     checkpoint_dir: str = "checkpoints"
     save_interval_steps: int = 1000
     keep_checkpoints: int = 3
@@ -333,6 +345,14 @@ class DecodeConfig:
     # Auto-disabled when the encoder memory is sharded over >1 device (the
     # narrow gather would fight the GSPMD batch partitioning).
     round_shrink: bool = True
+    # decode-length banding: when the evaluation targets are known, quantize
+    # the decode length to the smallest of {40, 56, max_len} that covers the
+    # batch's longest target plus a 12-token margin. Decode cost is linear
+    # in the sequential while_loop trip count (the roofline's residual
+    # bound), so a light-molecule batch pays 40 steps instead of 64.
+    # Candidates longer than target+12 would be MW-filtered rejects anyway;
+    # executable count stays bounded (<=3 lengths x <=3 shrink widths).
+    band_max_len: bool = True
 
 
 @dataclass(frozen=True)

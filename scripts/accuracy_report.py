@@ -531,6 +531,13 @@ def main() -> int:
             f"Held-out factory molecules (seed {args.heldout_seed}, disjoint from the",
             f"training corpus by canonical SMILES), n = {n}.",
         ]
+    # Headline comparator: the ref testset IS the 250-350 Da band, so its
+    # like-for-like bar is PC_250_350.txt (0.483/0.228), not the 0-250 one
+    # (ADVICE r3: r03ref.md understated the comparison in its headline).
+    if args.ref_testset:
+        cmp_name, cmp_mns, cmp_greedy = "reference (PubChem 250-350, V100)", 0.483, 0.228
+    else:
+        cmp_name, cmp_mns, cmp_greedy = "reference (ZINC 0-250, V100)", 0.911, 0.624
     md = [
         f"# Accuracy report ({args.tag})",
         "",
@@ -539,12 +546,12 @@ def main() -> int:
         f"fan-out MNS, {args.multinom_runs} candidates, MW filter, temperature",
         "escalation, trained-GNN spectral simulation, device spectral-error ranking.",
         "",
-        "| metric | value | reference (ZINC 0-250, V100) |",
+        f"| metric | value | {cmp_name} |",
         "|---|---|---|",
-        f"| MNS top-rank exact recovery | **{report['mns_exact']:.3f}** | 0.911 |",
-        f"| greedy exact recovery | **{report['greedy_exact']:.3f}** | 0.624 |",
-        f"| greedy tanimoto (mean) | {report['greedy_tanimoto']:.3f} | 0.842 |",
-        f"| best-candidate tanimoto (mean) | {report['best_tanimoto']:.3f} | 0.967 |",
+        f"| MNS top-rank exact recovery | **{report['mns_exact']:.3f}** | {cmp_mns} |",
+        f"| greedy exact recovery | **{report['greedy_exact']:.3f}** | {cmp_greedy} |",
+        f"| greedy tanimoto (mean) | {report['greedy_tanimoto']:.3f} | {'-' if args.ref_testset else 0.842} |",
+        f"| best-candidate tanimoto (mean) | {report['best_tanimoto']:.3f} | {'-' if args.ref_testset else 0.967} |",
         f"| teacher-forced P(sequence) | {report['corr_sampling_prob']:.3f} | - |",
     ]
     for k, v in sorted(topk_agg.items(), key=lambda kv: int(kv[0])):
@@ -612,9 +619,20 @@ def main() -> int:
             "drug-like molecules). Both measure the same thing: can the model invert",
             "its own simulator's spectra back to the structure.",
         ]
+    # A committed report must never cite an ephemeral checkpoint path:
+    # /tmp and .cache get wiped between rounds, which made four r3 reports
+    # unreproducible (VERDICT r3 weak #6). Name the committed weights/ file
+    # the run must be exported to instead.
+    ckpt_line = args.params
+    if args.params.startswith(("/tmp", "/root/repo/.cache", ".cache")):
+        ckpt_line = (
+            f"{args.params} (EPHEMERAL — export to weights/ with "
+            "train.checkpoint.export_params_msgpack and commit it; this "
+            "report is not reproducible until that file is in git)"
+        )
     md += [
         "",
-        f"Checkpoint: `{args.params}`. Reproduce: see this script's docstring.",
+        f"Checkpoint: `{ckpt_line}`. Reproduce: see this script's docstring.",
         "",
         *tail,
     ]

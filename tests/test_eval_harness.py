@@ -316,3 +316,27 @@ def test_on_round_accepted_callback_reports_every_candidate():
     )
     for b, cs in enumerate(cands):
         assert got.get(b, []) == cs.smiles  # same order, no dupes, none missed
+
+
+def test_decode_length_banding():
+    """band_max_len quantizes the decode length to cover the longest target
+    plus margin; results stay exact-equal for targets within the band."""
+    params, recs = _trained_params()
+    # synthetic records have short SMILES: the banded length must be < 64
+    res_b, _ = harness.evaluate_molecules(
+        recs[:4], params, MCFG,
+        DecodeConfig(max_len=64, fanout=8, multinom_runs=2, max_temp_rounds=2,
+                     mw_filter=False, band_max_len=True),
+        simulate_errors=False,
+    )
+    res_f, _ = harness.evaluate_molecules(
+        recs[:4], params, MCFG,
+        DecodeConfig(max_len=64, fanout=8, multinom_runs=2, max_temp_rounds=2,
+                     mw_filter=False, band_max_len=False),
+        simulate_errors=False,
+    )
+    assert len(res_b) == len(res_f) == 4
+    # greedy decode is deterministic and every target is far below the
+    # band: the banded run must reproduce the full-length greedy exactly
+    for rb, rf in zip(res_b, res_f):
+        assert rb.greedy == rf.greedy
