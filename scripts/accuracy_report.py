@@ -352,7 +352,9 @@ def main() -> int:
         # re-run with different sweep settings must not reuse stale chunks
         decode_key = (
             f"f{args.fanout}.m{args.multinom_runs}.r{args.rounds}"
-            f".l{args.max_len}.b{int(args.bf16)}.x{int(args.mix)}"
+            f".l{args.max_len}.b{int(args.bf16)}.x{int(args.mix)}.v2"
+            # .v2: decode-length banding + device-reduced seq probs landed in
+            # round 4 — r3 chunks are not interchangeable
         )
         if args.ref_testset:
             # same SMILES can be evaluated against factory spectra or the

@@ -27,6 +27,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -105,30 +107,44 @@ def main() -> int:
     print("[real] zero-shot evaluation...", flush=True)
     zero_mols, zero_sum = evaluate(records, params, mcfg, dcfg)
 
-    # ---- reference-style real-data fine-tune: blend head only ----------
-    print("[real] fine-tuning real_data_linear blend head...", flush=True)
+    # ---- reference-style real-data fine-tune: blend head only, LEAVE-ONE-
+    # OUT (VERDICT r3 weak #5/task 8): with 5 molecules, fine-tuning and
+    # evaluating on overlapping inputs proves nothing — so each molecule is
+    # evaluated under a blend head trained on the OTHER FOUR only, rotated.
     blend_mcfg = dataclasses.replace(mcfg, use_real_data=True)
-    cfg = MMTConfig(
-        model=blend_mcfg,
-        train=TrainConfig(
-            learning_rate=args.lr, num_epochs=1000,
-            trainable_only=("real_data_linear",),
-            save_interval_steps=10**9, mixed_precision=True,
-        ),
-        data=DataConfig(batch_size=len(records)),
-    )
-    train_records = dp.augment_records(records, 8, seed=0)
-    loader = dp.Loader(
-        train_records, blend_mcfg, batch_size=min(16, len(train_records)),
-        seed=0, opts=dp.FeaturizeOptions(use_given_smiles_form=True),
-    )
-    result = run_training(
-        cfg, loader, init_params=params, max_steps=args.steps, log_every=50,
-    )
-    tuned = result.state.params
+    blend_mols = []
+    for i, held in enumerate(records):
+        print(f"[real] LOO fold {i}: fine-tuning blend head on the other "
+              f"{len(records) - 1}...", flush=True)
+        fold_train = [r for j, r in enumerate(records) if j != i]
+        cfg = MMTConfig(
+            model=blend_mcfg,
+            train=TrainConfig(
+                learning_rate=args.lr, num_epochs=1000,
+                trainable_only=("real_data_linear",),
+                save_interval_steps=10**9, mixed_precision=True,
+            ),
+            data=DataConfig(batch_size=len(fold_train)),
+        )
+        train_records = dp.augment_records(fold_train, 8, seed=0)
+        loader = dp.Loader(
+            train_records, blend_mcfg, batch_size=min(16, len(train_records)),
+            seed=0, opts=dp.FeaturizeOptions(use_given_smiles_form=True),
+        )
+        result = run_training(
+            cfg, loader, init_params=params, max_steps=args.steps, log_every=50,
+        )
+        fold_mols, _ = evaluate([held], result.state.params, blend_mcfg, dcfg)
+        blend_mols.extend(fold_mols)
 
-    print("[real] blended evaluation...", flush=True)
-    blend_mols, blend_sum = evaluate(records, tuned, blend_mcfg, dcfg)
+    class _S:  # aggregate the 5 single-molecule folds like an EvalSummary
+        greedy_exact = float(np.mean([m["greedy"] == m["target"] for m in blend_mols]))
+        mns_exact = float(np.mean([
+            any(c["exact"] for c in m["top3"][:1]) for m in blend_mols
+        ]))
+        avg_best_tanimoto = float(np.mean([m["best_tanimoto"] for m in blend_mols]))
+
+    blend_sum = _S()
 
     out = {
         "zero_shot": {"summary": {"greedy_exact": zero_sum.greedy_exact,
@@ -155,7 +171,10 @@ def main() -> int:
         "checkpoint, then the reference's real-data fine-tuning path — the",
         f"`real_data_linear` blend head trained alone ({args.steps} steps,",
         "frozen backbone, `TrainConfig.trainable_only`), evaluation through",
-        "the blended decode (`models_MMT_v15_4.py:965-971`).",
+        "the blended decode (`models_MMT_v15_4.py:965-971`) under a",
+        "**leave-one-out protocol**: each molecule is scored by a blend head",
+        "fine-tuned on the other four only, so the fine-tune never sees its",
+        "evaluation molecule (5 molecules leave no honest alternative).",
         "",
         "Real spectra are far out of the simulated training domain (measured",
         "shifts, solvent effects, peak-picking noise), so exact recovery on 5",
@@ -166,17 +185,19 @@ def main() -> int:
         "| stage | greedy exact | MNS exact | mean best tanimoto |",
         "|---|---|---|---|",
         f"| zero-shot | {zero_sum.greedy_exact:.2f} | {zero_sum.mns_exact:.2f} | {zero_sum.avg_best_tanimoto:.3f} |",
-        f"| + real_data blend head | {blend_sum.greedy_exact:.2f} | {blend_sum.mns_exact:.2f} | {blend_sum.avg_best_tanimoto:.3f} |",
+        f"| + blend head (LOO) | {blend_sum.greedy_exact:.2f} | {blend_sum.mns_exact:.2f} | {blend_sum.avg_best_tanimoto:.3f} |",
         "",
-        "## Per-molecule (blended pass)",
+        "## Per-molecule: zero-shot vs leave-one-out blend",
         "",
-        "| molecule | candidates | best tanimoto | top-ranked candidate |",
-        "|---|---|---|---|",
+        "| molecule | zs best tan | LOO best tan | zs top-rank tan | LOO top-rank tan |",
+        "|---|---|---|---|---|",
     ]
-    for m in blend_mols:
-        top = m["top3"][0]["smiles"] if m["top3"] else "-"
+    for mz, m in zip(zero_mols, blend_mols):
+        zs_top = mz["top3"][0]["tanimoto"] if mz["top3"] else "-"
+        lo_top = m["top3"][0]["tanimoto"] if m["top3"] else "-"
         md.append(
-            f"| `{m['target'][:40]}` | {m['n_candidates']} | {m['best_tanimoto']} | `{top[:40]}` |"
+            f"| `{m['target'][:40]}` | {mz['best_tanimoto']} | {m['best_tanimoto']} "
+            f"| {zs_top} | {lo_top} |"
         )
     md += ["", f"Checkpoint: `{args.params}`. Reproduce: this script's docstring."]
     with open(os.path.join(REPO, "REAL_DATA_DEMO.md"), "w") as f:
