@@ -83,6 +83,21 @@ def main_e2e() -> None:
     from multimodalspectraltransformer_tpu.train.contrastive import clip_tokenize
     from multimodalspectraltransformer_tpu.utils.config import DecodeConfig
 
+    # Liveness heartbeat on stderr: first TPU compiles of fresh decode
+    # executables are device-bound and silent — guarded drivers kill on
+    # stale-log + cpu-idle (see scripts/r4_driver.sh guard()).
+    import sys as _sys
+    import threading as _th
+    import time as _t
+
+    def _beat():
+        t0 = _t.time()
+        while True:
+            _t.sleep(120)
+            print(f"[bench] heartbeat {_t.time()-t0:.0f}s", file=_sys.stderr, flush=True)
+
+    _th.Thread(target=_beat, daemon=True).start()
+
     # 48 molecules/batch is the measured throughput sweet spot (24: ~16
     # mols/s, 48: ~19, 96: ~15.8 — 6144 fan-out lanes fill the chip while
     # the host filter still hides under the lookahead round)
