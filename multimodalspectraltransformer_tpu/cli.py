@@ -137,12 +137,30 @@ def _load_params(args, mcfg):
     return template
 
 
+def _start_heartbeat(tag: str) -> None:
+    """120 s stdout ticker on a daemon thread: a fresh train/eval executable
+    can compile server-side for >15 min with the client silent and CPU-idle
+    — exactly the stale+idle predicate guarded drivers kill on (see
+    scripts/r4_driver.sh guard() and CLAUDE.md round-4 notes)."""
+    import threading
+    import time as _t
+
+    def _beat():
+        t0 = _t.time()
+        while True:
+            _t.sleep(120)
+            print(f"[{tag}] heartbeat {_t.time()-t0:.0f}s", flush=True)
+
+    threading.Thread(target=_beat, daemon=True).start()
+
+
 def cmd_train(args) -> int:
     from .data.pipeline import Loader
     from .train import checkpoint as ckpt
     from .train.loop import run_training
     from .utils.config import DataConfig, MMTConfig, TrainConfig
 
+    _start_heartbeat("train")
     if getattr(args, "feature_cache", ""):
         os.environ["MMT_FEATURE_CACHE"] = args.feature_cache
     mcfg = _model_cfg(args)
@@ -256,6 +274,8 @@ def cmd_evaluate(args) -> int:
 def cmd_improve(args) -> int:
     import jax
 
+    _start_heartbeat("improve")
+
     from .sim import factory
     from .train.improvement_cycle import ImprovementCycleConfig, run_improvement_cycle
     from .train.molgen import MolGenConfig
@@ -328,6 +348,8 @@ def cmd_serve(args) -> int:
 
 def cmd_train_clip(args) -> int:
     import jax
+
+    _start_heartbeat("train-clip")
 
     from .data import pipeline as dp
     from .models import mmt
