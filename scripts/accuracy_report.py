@@ -105,6 +105,19 @@ def main() -> int:
     args = parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    # Liveness heartbeat from the very start: the pre-records phase
+    # (exclusion-corpus regeneration) and the first chunk's TPU compiles can
+    # both run >15 min with no output — guarded drivers kill stale+idle.
+    import threading
+
+    def _beat():
+        t0h = time.time()
+        while True:
+            time.sleep(120)
+            print(f"[acc] heartbeat {time.time()-t0h:.0f}s", flush=True)
+
+    threading.Thread(target=_beat, daemon=True).start()
+
     if args.cpu:
         import jax
 
@@ -328,21 +341,6 @@ def main() -> int:
                 ) as f:
                     pickle.dump(records, f)
     print(f"[acc] records ready: {len(records)} in {time.time()-t0:.0f}s", flush=True)
-
-    # Liveness heartbeat: a chunk's first TPU compile (new decode widths /
-    # banded lengths) can sit device-bound and silent for >15 min with the
-    # host nearly CPU-idle — exactly the stale-log + cpu-idle predicate the
-    # driver guards kill on (r4: MC0 eval killed mid-compile). A daemon
-    # ticker keeps the stdout log fresh while real work is in flight.
-    import threading
-
-    def _beat():
-        t0h = time.time()
-        while True:
-            time.sleep(120)
-            print(f"[acc] heartbeat {time.time()-t0h:.0f}s", flush=True)
-
-    threading.Thread(target=_beat, daemon=True).start()
 
     # chunk-result caching must be keyed on the checkpoint too: the same
     # held-out chunk evaluated under a different params file is different work
