@@ -351,6 +351,20 @@ def cmd_train_clip(args) -> int:
 
     _start_heartbeat("train-clip")
 
+    # Feature cache: explicit --feature-cache wins; otherwise honor a
+    # "<factory-cache>.featcache" sidecar (one line: the prewarmed cache dir)
+    # so already-launched drivers with fixed argv still skip the ~40 min
+    # host featurization of a 300k corpus.
+    fc = getattr(args, "feature_cache", "")
+    if not fc:
+        sidecar = (getattr(args, "factory_cache", "") or "") + ".featcache"
+        if sidecar != ".featcache" and os.path.exists(sidecar):
+            with open(sidecar) as f:
+                fc = f.read().strip()
+            print(f"[train-clip] feature cache via sidecar: {fc}", flush=True)
+    if fc:
+        os.environ["MMT_FEATURE_CACHE"] = fc
+
     from .data import pipeline as dp
     from .models import mmt
     from .train import contrastive
@@ -375,6 +389,7 @@ def cmd_train_clip(args) -> int:
         learning_rate=args.lr, num_epochs=args.epochs,
         batch_size=args.batch_size, max_steps=args.steps,
         log_every=getattr(args, "log_every", 50),
+        save_every=getattr(args, "save_every", 500),
     )
     variables, logger = contrastive.train_contrastive(
         cfg, params, records, tower=args.tower, ccfg=ccfg,
@@ -555,6 +570,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--log-every", type=int, default=50,
                     help="metric materialization cadence; every float(loss) is a "
                          "device sync (~32 ms RPC on the tunneled backend)")
+    sp.add_argument("--save-every", type=int, default=500,
+                    help="tower+optimizer snapshot cadence (resume on retry)")
+    sp.add_argument("--feature-cache", default="",
+                    help="featurized-dataset disk cache dir (sets "
+                         "MMT_FEATURE_CACHE; falls back to a "
+                         "<factory-cache>.featcache sidecar file)")
     sp.set_defaults(fn=cmd_train_clip)
 
     sp = sub.add_parser("vectorize", help="build a fingerprint vector DB")

@@ -66,6 +66,10 @@ class ContrastiveConfig:
     # (a full RPC round trip on remote backends) — same gating as the MMT
     # training loop's log_every
     log_every: int = 1
+    # periodic tower+optimizer snapshot cadence (guarded drivers kill and
+    # retry chip runs; without this every retry restarts from step 0 — the
+    # r3 silent-client-death lesson). 0 disables.
+    save_every: int = 500
 
 
 def train_contrastive(
@@ -126,6 +130,39 @@ def train_contrastive(
     tx = optax.adamw(ccfg.learning_rate, weight_decay=ccfg.weight_decay)
     opt_state = tx.init(variables["params"])
 
+    # Resume: restore tower params + optimizer state + step from the periodic
+    # snapshot so a killed-and-retried run (guarded driver, silent client
+    # death) continues instead of restarting. Data order restarts at epoch 0
+    # on resume — acceptable for the contrastive objective.
+    import os as _os
+
+    from flax import serialization as _ser
+
+    state_path = checkpoint_path + ".state" if checkpoint_path else None
+    start_step = 0
+    if state_path and _os.path.exists(state_path):
+        tpl = {"params": variables["params"], "opt_state": opt_state,
+               "step": np.zeros((), np.int32)}
+        with open(state_path, "rb") as f:
+            restored = _ser.from_bytes(tpl, f.read())
+        variables = {"params": restored["params"]}
+        opt_state = restored["opt_state"]
+        start_step = int(restored["step"])
+        print(f"[contrastive] resumed {state_path} at step {start_step}", flush=True)
+
+    def _save_state(step, params_now, opt_now):
+        if not state_path:
+            return
+        blob = _ser.to_bytes({
+            "params": jax.device_get(params_now),
+            "opt_state": jax.device_get(opt_now),
+            "step": np.asarray(step, np.int32),
+        })
+        tmp = state_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        _os.replace(tmp, state_path)  # atomic: guard may kill mid-write
+
     loss_fn_name = "clip" if tower == "clip" else "blip"
 
     @jax.jit
@@ -162,7 +199,7 @@ def train_contrastive(
 
     logger = MetricsLogger(metrics_path)
     params = variables["params"]
-    step_count = 0
+    step_count = start_step
 
     def _epoch_batches(epoch: int):
         if dd is None:
@@ -180,6 +217,8 @@ def train_contrastive(
                 yield rows.inputs, text_toks[ia], text_mask[ia]
 
     try:
+        if ccfg.max_steps and step_count >= ccfg.max_steps:
+            raise StopIteration  # resumed past the target: nothing to do
         for epoch in range(ccfg.num_epochs):
             for inputs, toks, mask in _epoch_batches(epoch):
                 fp, memory, kpm = _encode_frozen(mmt_model, mmt_params, inputs)
@@ -194,6 +233,8 @@ def train_contrastive(
                         "step": step_count, "epoch": epoch,
                         f"{loss_fn_name}_loss": float(loss),
                     })
+                if ccfg.save_every and step_count % ccfg.save_every == 0:
+                    _save_state(step_count, params, opt_state)
                 if ccfg.max_steps and step_count >= ccfg.max_steps:
                     raise StopIteration
     except StopIteration:
