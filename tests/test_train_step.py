@@ -419,7 +419,24 @@ def test_warp_spectra_device():
 def test_scheduled_sampling_step_and_semantics():
     """ss_prob>0: the step runs, learns, and the mixing semantics hold —
     at p=0 (ramp not started) the loss equals the plain path's decode on
-    ground-truth inputs; at full p the second pass sees model tokens."""
+    ground-truth inputs; at full p the second pass sees model tokens.
+
+    The persistent compilation cache is disabled for this test: writing the
+    two-pass-SS train_step executable to tests/.jax_cache segfaults the
+    interpreter when it happens late in a full-suite run (reproduced twice
+    at the same spot, 2026-08-20; passes in isolation) — the crash is in
+    jax's put_executable_and_time, not in the code under test."""
+    import jax as _jax
+
+    _cache_dir = _jax.config.jax_compilation_cache_dir
+    _jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        _run_scheduled_sampling_semantics()
+    finally:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+
+
+def _run_scheduled_sampling_semantics():
     from multimodalspectraltransformer_tpu.train.step import loss_fn
 
     cfg = MMTConfig(
