@@ -385,9 +385,18 @@ def cmd_train_clip(args) -> int:
         heldout, records = records[: args.eval_n], records[args.eval_n :]
     if args.out:
         os.makedirs(args.out, exist_ok=True)
+    # runtime step override: an already-launched guarded driver has its
+    # argv baked in (retry re-invokes the expanded command line), so a
+    # too-ambitious --steps can only be corrected via this file
+    steps = args.steps
+    if os.path.exists(".cache/clip_steps_override"):
+        with open(".cache/clip_steps_override") as f:
+            steps = int(f.read().strip())
+        print(f"[train-clip] steps override: {args.steps} -> {steps} "
+              "(.cache/clip_steps_override)", flush=True)
     ccfg = contrastive.ContrastiveConfig(
         learning_rate=args.lr, num_epochs=args.epochs,
-        batch_size=args.batch_size, max_steps=args.steps,
+        batch_size=args.batch_size, max_steps=steps,
         log_every=getattr(args, "log_every", 50),
         save_every=getattr(args, "save_every", 500),
     )

@@ -91,7 +91,10 @@ def train_contrastive(
     variables are saved to ``<checkpoint_path>.backup.msgpack`` before
     re-raising (the reference's backup-checkpoint behavior)."""
     rng = jax.random.PRNGKey(seed)
-    mmt_model = mmt.MultimodalTransformer(mmt_cfg.model)
+    # the frozen full-MMT encode at contrastive batch sizes (256) dominates
+    # the step (measured 2-3 s/step fp32 on the v5e); run it in bf16 like
+    # the training/decode paths — params stay fp32, compute is bf16
+    mmt_model = _encode_model(mmt_cfg.model)
 
     if tower not in ("clip", "blip"):
         raise ValueError(tower)
@@ -250,13 +253,24 @@ def train_contrastive(
     return variables, logger
 
 
+def _encode_model(mcfg) -> "mmt.MultimodalTransformer":
+    """Encode-side model in bf16 compute (fp32 params, flax dtype pattern
+    — same mechanics as train.step's mixed_precision rebuild)."""
+    if mcfg.dtype != "bfloat16":
+        mcfg = dataclasses.replace(mcfg, dtype="bfloat16")
+    return mmt.MultimodalTransformer(mcfg)
+
+
 @partial(jax.jit, static_argnames=("mmt_model",))
 def _encode_frozen(mmt_model, mmt_params, inputs):
     """Frozen-MMT encode with params as a TRACED argument: closing over
     them would bake the whole parameter tree into the executable as
-    constants (bigger compiles, HBM duplication, no compile-cache hits)."""
+    constants (bigger compiles, HBM duplication, no compile-cache hits).
+    Outputs are cast to fp32 so the tower's numerics are dtype-independent
+    of the encode path."""
     enc = mmt_model.apply({"params": mmt_params}, inputs, None, True)
-    return enc.fingerprint, enc.memory, enc.memory_key_padding_mask
+    f32 = lambda x: x.astype(jnp.float32)
+    return f32(enc.fingerprint), f32(enc.memory), enc.memory_key_padding_mask
 
 
 def _drop_truncating_records(records, mcfg) -> list:
@@ -313,7 +327,7 @@ def retrieval_accuracy(
     """Contrastive-retrieval evaluation: R@1/R@5 for text->spectrum and
     spectrum->text over the record set (each molecule's SMILES must
     retrieve its own spectrum among all N and vice versa)."""
-    mmt_model = mmt.MultimodalTransformer(mmt_cfg.model)
+    mmt_model = _encode_model(mmt_cfg.model)  # same bf16 encode as training
     tower_model, *_ = make_tower(tower, tower_cfg, text_tower_cfg)
 
     records = _drop_truncating_records(records, mmt_cfg.model)
