@@ -143,7 +143,7 @@ def main_e2e() -> None:
     # stand-in that carries the same per-candidate FLOP load (annotated in
     # the metric string — a random tower scores, it does not rank).
     clip_path = ""
-    for name in ("clip_r3.msgpack.gz", "clip_r3.msgpack"):
+    for name in ("clip_r4.msgpack.gz", "clip_r3.msgpack.gz", "clip_r3.msgpack"):
         p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights", name)
         if os.path.exists(p):
             clip_path = p
