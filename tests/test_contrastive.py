@@ -90,3 +90,35 @@ def test_backup_checkpoint_on_failure(tmp_path):
     finally:
         contrastive._encode_frozen = orig
     assert (tmp_path / "c.msgpack.backup.msgpack").exists()
+
+
+def test_snapshot_resume_continues_from_step(tmp_path):
+    """Periodic .state snapshot + resume (guarded-driver retry path): a
+    second train_contrastive call with a higher max_steps must continue
+    from the snapshot's step, not restart from 0."""
+    cfg, records, params = _setup()
+    ck = str(tmp_path / "clip.msgpack")
+    ccfg = contrastive.ContrastiveConfig(
+        num_epochs=50, batch_size=6, max_steps=4, save_every=2, log_every=1)
+    contrastive.train_contrastive(
+        cfg, params, records, tower="clip", ccfg=ccfg, tower_cfg=TINY_CLIP,
+        checkpoint_path=ck,
+    )
+    assert (tmp_path / "clip.msgpack.state").exists()
+    ccfg2 = contrastive.ContrastiveConfig(
+        num_epochs=50, batch_size=6, max_steps=7, save_every=2, log_every=1)
+    _, logger = contrastive.train_contrastive(
+        cfg, params, records, tower="clip", ccfg=ccfg2, tower_cfg=TINY_CLIP,
+        checkpoint_path=ck,
+    )
+    steps = [r["step"] for r in logger.history if "clip_loss" in r]
+    assert steps == [5, 6, 7], steps  # resumed at 4, ran 3 more
+
+    # resuming past the target trains zero steps but still exports
+    _, logger3 = contrastive.train_contrastive(
+        cfg, params, records, tower="clip",
+        ccfg=contrastive.ContrastiveConfig(
+            num_epochs=50, batch_size=6, max_steps=5, save_every=2),
+        checkpoint_path=ck, tower_cfg=TINY_CLIP,
+    )
+    assert not [r for r in logger3.history if "clip_loss" in r]
