@@ -149,7 +149,16 @@ def _start_heartbeat(tag: str) -> None:
         t0 = _t.time()
         while True:
             _t.sleep(120)
-            print(f"[{tag}] heartbeat {_t.time()-t0:.0f}s", flush=True)
+            rss = "?"
+            try:  # host RSS in the heartbeat: leaks show as a growth curve
+                with open("/proc/self/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS"):
+                            rss = f"{int(line.split()[1]) // 1024}MB"
+                            break
+            except OSError:
+                pass
+            print(f"[{tag}] heartbeat {_t.time()-t0:.0f}s rss={rss}", flush=True)
 
     threading.Thread(target=_beat, daemon=True).start()
 

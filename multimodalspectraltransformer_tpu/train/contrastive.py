@@ -168,8 +168,18 @@ def train_contrastive(
 
     loss_fn_name = "clip" if tower == "clip" else "blip"
 
+    # ONE jit for encode + tower loss + update: the frozen encode's memory
+    # tensor ([B, 582, 128] ~ 76 MB at B=256) must never cross a jit
+    # boundary — on the tunneled remote backend, per-step large jit outputs
+    # leaked ~100 MB/step of host RSS (the CL stage was OOM-killed at 130 GB
+    # on 2026-08-20). Fusing also drops two dispatches per step.
     @jax.jit
-    def train_step(params, opt_state, tokens, mask, fp, memory, kpm, rng):
+    def fused_step(params, opt_state, mmt_params, inputs, tokens, mask, rng):
+        enc = mmt_model.apply({"params": mmt_params}, inputs, None, True)
+        fp = enc.fingerprint.astype(jnp.float32)
+        memory = enc.memory.astype(jnp.float32)
+        kpm = enc.memory_key_padding_mask
+
         def loss_fn(p):
             if tower == "clip":
                 cb, mt = tower_model.apply(
@@ -224,17 +234,19 @@ def train_contrastive(
             raise StopIteration  # resumed past the target: nothing to do
         for epoch in range(ccfg.num_epochs):
             for inputs, toks, mask in _epoch_batches(epoch):
-                fp, memory, kpm = _encode_frozen(mmt_model, mmt_params, inputs)
                 rng, sub = jax.random.split(rng)
-                params, opt_state, loss = train_step(
-                    params, opt_state, toks, mask,
-                    fp, memory, kpm, sub,
+                params, opt_state, loss = fused_step(
+                    params, opt_state, mmt_params, inputs, toks, mask, sub,
                 )
                 step_count += 1
+                # materialize the scalar EVERY step: bounds the async
+                # dispatch queue on remote backends (a 1-scalar fetch,
+                # ~32 ms — small next to the ~1.5 s step)
+                loss_host = float(loss)
                 if step_count % ccfg.log_every == 0:
                     logger.log({
                         "step": step_count, "epoch": epoch,
-                        f"{loss_fn_name}_loss": float(loss),
+                        f"{loss_fn_name}_loss": loss_host,
                     })
                 if ccfg.save_every and step_count % ccfg.save_every == 0:
                     _save_state(step_count, params, opt_state)

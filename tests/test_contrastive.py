@@ -64,23 +64,24 @@ def test_blip_training_smoke():
 def test_backup_checkpoint_on_failure(tmp_path):
     cfg, records, params = _setup(8)
 
-    # poison the frozen encode so the SECOND in-loop batch raises
-    # mid-training (works for both the host and the device-dataset batch
-    # paths — both call _encode_frozen per batch inside the guarded loop)
+    # poison the in-loop metrics logger so the SECOND step raises
+    # mid-training (the encode is fused into the jitted step now, so the
+    # per-batch Python-level hook is the logger at log_every=1)
     class Boom(Exception):
         pass
 
-    ccfg = contrastive.ContrastiveConfig(num_epochs=1, batch_size=4)
-    orig = contrastive._encode_frozen
+    ccfg = contrastive.ContrastiveConfig(num_epochs=1, batch_size=4, log_every=1)
+    orig = contrastive.MetricsLogger
     calls = {"n": 0}
 
-    def exploding(mmt_model, mmt_params, inputs):
-        calls["n"] += 1
-        if calls["n"] >= 3:  # after init probe + first in-loop batch
-            raise Boom()
-        return orig(mmt_model, mmt_params, inputs)
+    class ExplodingLogger(orig):
+        def log(self, metrics):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise Boom()
+            return super().log(metrics)
 
-    contrastive._encode_frozen = exploding
+    contrastive.MetricsLogger = ExplodingLogger
     try:
         with pytest.raises(Boom):
             contrastive.train_contrastive(
@@ -88,7 +89,7 @@ def test_backup_checkpoint_on_failure(tmp_path):
                 checkpoint_path=str(tmp_path / "c.msgpack"),
             )
     finally:
-        contrastive._encode_frozen = orig
+        contrastive.MetricsLogger = orig
     assert (tmp_path / "c.msgpack.backup.msgpack").exists()
 
 
