@@ -354,4 +354,9 @@ def load_bundle(path: str):
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         toks, toks, jnp.zeros((1, 512)), True,
     )
-    return import_params_msgpack(template, path), cfg
+    variables = import_params_msgpack(template, path)
+    # park the tower in HBM ONCE: import returns host arrays, and a traced
+    # jit argument made of host numpy re-uploads on EVERY call — for the
+    # 170 MB trained tower through the ~28 MB/s tunnel that was ~6 s per
+    # 48-molecule harness chunk (bench 6.27 -> 3.9 mols/s regression)
+    return jax.device_put(variables), cfg
