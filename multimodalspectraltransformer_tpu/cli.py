@@ -396,13 +396,16 @@ def cmd_train_clip(args) -> int:
         os.makedirs(args.out, exist_ok=True)
     # runtime step override: an already-launched guarded driver has its
     # argv baked in (retry re-invokes the expanded command line), so a
-    # too-ambitious --steps can only be corrected via this file
+    # too-ambitious --steps can only be corrected via this file. Scoped to
+    # the RUN directory (r4 advisor: a stale CWD-level override silently
+    # replaced --steps for unrelated future runs).
     steps = args.steps
-    if os.path.exists(".cache/clip_steps_override"):
-        with open(".cache/clip_steps_override") as f:
+    override_path = os.path.join(args.out, "clip_steps_override") if args.out else ""
+    if override_path and os.path.exists(override_path):
+        with open(override_path) as f:
             steps = int(f.read().strip())
         print(f"[train-clip] steps override: {args.steps} -> {steps} "
-              "(.cache/clip_steps_override)", flush=True)
+              f"({override_path})", flush=True)
     ccfg = contrastive.ContrastiveConfig(
         learning_rate=args.lr, num_epochs=args.epochs,
         batch_size=args.batch_size, max_steps=steps,

@@ -32,6 +32,21 @@ from ..utils.config import DecodeConfig, ModelConfig
 Array = jax.Array
 
 
+@jax.jit
+def _fetch_pack(toks, tprobs):
+    """Device-side post-pass: tokens as uint8 (vocab is 43 ids) and the
+    per-lane sequence probability reduced on device. The per-round
+    device->host fetch drops from 2x [W*F, T] f32/i32 (~3 MB at full
+    width) to [W*F, T] u8 + [W*F] f32 (~0.4 MB) — the tunnel moves
+    ~30 MB/s, so this hides ~100 ms per consumed round. Module scope so the
+    trace cache persists across calls/chunks (r4 advisor: a per-call
+    @jax.jit wrapper retraced every chunk)."""
+    live = toks != vocab.PAD_ID
+    logp = jnp.where(live, jnp.log(jnp.maximum(tprobs, 1e-38)), 0.0)
+    seqp = jnp.where(jnp.any(live, axis=1), jnp.exp(jnp.sum(logp, axis=1)), 0.0)
+    return toks.astype(jnp.uint8), seqp
+
+
 @dataclass
 class CandidateSet:
     """Unique, valid, canonicalized candidates for one molecule."""
@@ -196,18 +211,6 @@ def generate_candidates_batch(
     import time as _time
 
     prof = os.environ.get("MMT_EVAL_PROFILE") == "1"
-
-    @jax.jit
-    def _fetch_pack(toks, tprobs):
-        """Device-side post-pass: tokens as uint8 (vocab is 43 ids) and the
-        per-lane sequence probability reduced on device. The per-round
-        device->host fetch drops from 2x [W*F, T] f32/i32 (~3 MB at full
-        width) to [W*F, T] u8 + [W*F] f32 (~0.4 MB) — the tunnel moves
-        ~30 MB/s, so this hides ~100 ms per consumed round."""
-        live = toks != vocab.PAD_ID
-        logp = jnp.where(live, jnp.log(jnp.maximum(tprobs, 1e-38)), 0.0)
-        seqp = jnp.where(jnp.any(live, axis=1), jnp.exp(jnp.sum(logp, axis=1)), 0.0)
-        return toks.astype(jnp.uint8), seqp
 
     active = list(range(B))
     pending, pend_lanes = dispatch(0, active)

@@ -100,6 +100,11 @@ def train_contrastive(
         raise ValueError(tower)
     tower_model, *_ = make_tower(tower, tower_cfg, text_tower_cfg)
 
+    # park the frozen MMT tree in HBM once: host-numpy leaves passed as jit
+    # args re-upload the full ~170 MB tree through the ~28 MB/s tunnel on
+    # EVERY step (same bug class as rank/clip.load_bundle, fixed 4d7f708)
+    mmt_params = jax.device_put(mmt_params)
+
     records = _drop_truncating_records(records, mmt_cfg.model)
 
     loader = Loader(
@@ -342,6 +347,7 @@ def retrieval_accuracy(
     mmt_model = _encode_model(mmt_cfg.model)  # same bf16 encode as training
     tower_model, *_ = make_tower(tower, tower_cfg, text_tower_cfg)
 
+    mmt_params = jax.device_put(mmt_params)  # one upload, not one per batch
     records = _drop_truncating_records(records, mmt_cfg.model)
     loader = Loader(records, mmt_cfg.model, batch_size, seed=seed, drop_remainder=False)
     text_embs, spec_embs = [], []

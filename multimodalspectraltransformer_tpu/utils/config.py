@@ -352,7 +352,11 @@ class DecodeConfig:
     # bound), so a light-molecule batch pays 40 steps instead of 64.
     # Candidates longer than target+12 would be MW-filtered rejects anyway;
     # executable count stays bounded (<=3 lengths x <=3 shrink widths).
-    band_max_len: bool = True
+    # Default OFF (r4 advisor): setting decode length from ground-truth
+    # target lengths is information the reference pipeline doesn't use —
+    # headline accuracy/bench numbers must not depend on it. Opt in for
+    # exploratory sweeps via --band-max-len / DecodeConfig(band_max_len=True).
+    band_max_len: bool = False
 
 
 @dataclass(frozen=True)

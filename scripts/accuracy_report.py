@@ -87,6 +87,10 @@ def parse_args():
                         "report top-k under CLIP-influenced rankings next to "
                         "the protocol error-rank table (reference CLIP usage: "
                         "run_batch_gen_val_MMT_v15_4.py:428-482)")
+    p.add_argument("--band-max-len", action="store_true",
+                   help="opt-in decode-length banding from target lengths "
+                        "(exploratory only: headline comparisons must not "
+                        "use ground-truth length information)")
     p.add_argument("--mw-band", default="",
                    help="restrict the held-out corpus to one MW band 'lo,hi' "
                         "(mirrors the reference's per-band n=1000 sweeps, e.g. "
@@ -271,6 +275,7 @@ def main() -> int:
         multinom_runs=args.multinom_runs, max_temp_rounds=args.rounds,
         mw_filter=True, compute_dtype="bfloat16" if args.bf16 else None,
         beam_candidates=args.beam, greedy_in_pool=args.mix,
+        band_max_len=args.band_max_len,
     )
 
     t0 = time.time()

@@ -101,10 +101,11 @@ def main():
     with open(args.corpus) as f:
         src = [ln.strip() for ln in f if ln.strip()]
     picked = []
+    nat = chem_api._native()
     for smi in src:
         if len(picked) >= args.n:
             break
-        mw = chem_api.mol_wt(smi)
+        mw = nat.mol_wt(smi) if nat is not None else chem_api.mol_wt(smi)
         if mw is None or not (args.mw_lo <= mw <= args.mw_hi):
             continue
         if smi in excluded:

@@ -37,6 +37,15 @@ def main() -> int:
     ap.add_argument("--chunk-size", type=int, default=48)
     ap.add_argument("--split", default="adapt", choices=["adapt", "eval"])
     ap.add_argument("--keep-1h", action="store_true")
+    ap.add_argument("--sim-weights",
+                    default="multimodalspectraltransformer_tpu/sim/weights_sgnn",
+                    help="shift-GNN weights dir used BOTH to simulate the "
+                         "query spectra and to score candidates (the "
+                         "simulator-matched control)")
+    ap.add_argument("--out", default="",
+                    help="output json path (default "
+                         "runs/control_adapted_sim_<split>.json); r4 advisor: "
+                         "distinct experiments must never share a filename")
     args = ap.parse_args()
 
     import jax
@@ -61,8 +70,7 @@ def main() -> int:
     half = [r for r in chc if ref_testset_split(r.sample_id) == args.split][: args.n]
     print(f"[control] {len(half)} {args.split}-half molecules", flush=True)
 
-    sp, sm, stats = distill.load_shift_weights(
-        "multimodalspectraltransformer_tpu/sim/weights_sgnn")
+    sp, sm, stats = distill.load_shift_weights(args.sim_weights)
     t0 = time.time()
     sims = simulate_records(
         [r.smiles for r in half], sample_ids=[r.sample_id for r in half],
@@ -94,18 +102,26 @@ def main() -> int:
 
     import numpy as np
 
+    sim_label = os.path.basename(args.sim_weights.rstrip("/"))
     out = {
+        "control": "simulator-matched free-running decode "
+                   f"(queries simulated by {sim_label}, same weights score "
+                   "candidates; NOT the real-SGNN external benchmark)",
+        "script": "scripts/control_adapted_sim_eval.py",
         "split": args.split,
         "n": len(agg),
-        "spectra": "adapted-sim (1H blanked)" if not args.keep_1h else "adapted-sim",
+        "sim_weights": args.sim_weights,
+        "spectra": f"{sim_label} (1H blanked)" if not args.keep_1h else sim_label,
         "greedy_exact": float(np.mean([r.greedy_exact for r in agg])),
         "mns_exact": float(np.mean([r.mns_exact for r in agg])),
         "best_tanimoto": float(np.mean([r.best_tanimoto for r in agg])),
         "params": args.params,
     }
     print(json.dumps(out, indent=1))
-    with open(f"runs/control_adapted_sim_{args.split}.json", "w") as f:
+    out_path = args.out or f"runs/control_adapted_sim_{args.split}.json"
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
+    print(f"[control] wrote {out_path}", flush=True)
     return 0
 
 

@@ -39,6 +39,7 @@ Validate the output against the target distribution with:
 from __future__ import annotations
 
 import argparse
+import bisect
 import os
 import random
 import sys
@@ -53,7 +54,13 @@ if __name__ == "__main__":
     jax.config.update("jax_platforms", "cpu")  # host-side job
 
 from multimodalspectraltransformer_tpu.chem import api as chem_api
-from multimodalspectraltransformer_tpu.chem.smiles import Atom, Mol, parse_smiles
+from multimodalspectraltransformer_tpu.chem.canonical import write_smiles
+from multimodalspectraltransformer_tpu.chem.smiles import (
+    Atom,
+    Mol,
+    finalize,
+    parse_smiles,
+)
 from multimodalspectraltransformer_tpu.data.pipeline import (
     load_reference_testset,
     ref_testset_split,
@@ -149,7 +156,59 @@ def fragment_molecule(smiles: str) -> list[Fragment]:
     return [f for f in frags if f.sites]
 
 
-def assemble(ring_lib: list[Fragment], link_lib: list[Fragment],
+class Library:
+    """Fragment pool pre-sorted by size with prefix-sum weights.
+
+    The r4 profile showed `assemble` spending ~70% of generation time
+    rebuilding candidate lists and weight vectors per join (59M len() calls
+    per 3k molecules): size-filtering becomes a bisect and weighted draw a
+    second bisect over precomputed prefix sums.
+    """
+
+    def __init__(self, frags: list[Fragment]):
+        self.frags = sorted(frags, key=lambda f: f.n_heavy)
+        self.sizes = [f.n_heavy for f in self.frags]
+        # join weight (multi-site fragments keep assemblies growable) and
+        # base weight (original `1 + len(sites)`), as prefix sums
+        self.prefix_join: list[float] = []
+        self.prefix_base: list[float] = []
+        aj = ab = 0.0
+        for f in self.frags:
+            aj += f.n_heavy + 3 * len(f.sites)
+            ab += 1 + len(f.sites)
+            self.prefix_join.append(aj)
+            self.prefix_base.append(ab)
+
+    def __len__(self):
+        return len(self.frags)
+
+    def sample_max_size(self, rng: random.Random, max_size: int) -> Fragment | None:
+        """Join-weighted draw among fragments with n_heavy <= max_size."""
+        k = bisect.bisect_right(self.sizes, max_size)
+        if k == 0:
+            return None
+        top = self.prefix_join[k - 1]
+        r = rng.random() * top
+        return self.frags[bisect.bisect_right(self.prefix_join, r, 0, k - 1)]
+
+    def sample_base(self, rng: random.Random) -> Fragment:
+        r = rng.random() * self.prefix_base[-1]
+        return self.frags[
+            bisect.bisect_right(self.prefix_base, r, 0, len(self.frags) - 1)]
+
+
+def _fast_smiles(m: Mol) -> str | None:
+    """Validity-checked SMILES WITHOUT canonical ranking (identity DFS
+    order); callers canonicalize accepted outputs through the native kernel
+    afterwards, so Morgan refinement here is pure waste."""
+    try:
+        finalize(m, strict=True)
+        return write_smiles(m)
+    except Exception:
+        return None
+
+
+def assemble(ring_lib, link_lib,
              rng: random.Random,
              lo_atoms: int = 20, hi_atoms: int = 30) -> str | None:
     """Join random fragments at attachment sites into one molecule.
@@ -157,11 +216,15 @@ def assemble(ring_lib: list[Fragment], link_lib: list[Fragment],
     ZINC-matching shape priors (scripts/chemotype_stats.py): ~2.2 ring
     systems per molecule connected by acyclic linkers, so assembly caps the
     ring-fragment count per molecule and fills the rest from linkers.
+    Accepts raw fragment lists or prebuilt :class:`Library` objects.
     """
+    if not isinstance(ring_lib, Library):
+        ring_lib = Library(ring_lib)
+    if not isinstance(link_lib, Library):
+        link_lib = Library(link_lib)
     target = rng.randint(lo_atoms, hi_atoms)
     ring_target = rng.choice((1, 2, 2, 2, 3, 3))
-    bw = [1 + len(f.sites) for f in ring_lib]
-    base = rng.choices(ring_lib, weights=bw, k=1)[0]
+    base = ring_lib.sample_base(rng)
     rings_used = 1
     atoms = [Atom(a.symbol, a.aromatic, a.charge, a.explicit_h, a.isotope)
              for a in base.atoms]
@@ -199,16 +262,14 @@ def assemble(ring_lib: list[Fragment], link_lib: list[Fragment],
         room = target - len(atoms)
         want_ring = rings_used < ring_target and rng.random() < 0.4
         pool = ring_lib if want_ring else link_lib
-        cands = [f for f in pool if f.n_heavy <= room + 4]
-        if not cands:
-            cands = [f for f in link_lib if f.n_heavy <= room + 4]
-            want_ring = False
-        if not cands:
-            continue
         # multi-site fragments keep the assembly growable; plain rng.choice
         # stalls at ~19 atoms because 1-site rings terminate every branch
-        w = [f.n_heavy + 3 * len(f.sites) for f in cands]
-        other = rng.choices(cands, weights=w, k=1)[0]
+        other = pool.sample_max_size(rng, room + 4)
+        if other is None:
+            other = link_lib.sample_max_size(rng, room + 4)
+            want_ring = False
+        if other is None:
+            continue
         osite = rng.choice(other.sites)
         s1, s2 = atoms[site].symbol, other.atoms[osite].symbol
         if s1 != "C" and s2 != "C":  # forbid hetero-hetero joins
@@ -236,7 +297,7 @@ def assemble(ring_lib: list[Fragment], link_lib: list[Fragment],
         m.add_atom(Atom(a.symbol, a.aromatic, a.charge, eh, a.isotope))
     for (a1, a2, order, arom) in bonds:
         m.add_bond(a1, a2, order, arom)
-    return molgen._to_smiles(m)
+    return _fast_smiles(m)
 
 
 def main():
@@ -248,6 +309,9 @@ def main():
                     help="fraction of outputs passed through 1-3 mutate steps")
     ap.add_argument("--mw-lo", type=float, default=230.0)
     ap.add_argument("--mw-hi", type=float, default=390.0)
+    ap.add_argument("--exclude", action="append", default=[],
+                    help="SMILES file(s) whose canonical forms are treated "
+                         "as already seen (dedup against prior corpora)")
     args = ap.parse_args()
     rng = random.Random(args.seed)
 
@@ -278,36 +342,51 @@ def main():
           f"{sizes[len(sizes)//2]} heavy atoms); "
           f"{len(excluded)} eval-half exclusions", flush=True)
 
+    ring_L, link_L = Library(ring_lib), Library(link_lib)
     out: list[str] = []
     seen: set[str] = set(excluded)
+    for path in args.exclude:
+        n0 = len(seen)
+        with open(path) as f:
+            seen.update(s.strip() for s in f if s.strip())
+        print(f"[zinc-corpus] excluded {len(seen) - n0} prior SMILES "
+              f"from {path}", flush=True)
+    nat = chem_api._native()
     trials = 0
     t0 = time.time()
+    last_print = 0
     while len(out) < args.n and trials < args.n * 60:
-        trials += 1
-        smi = assemble(ring_lib, link_lib, rng)
-        if smi is None:
-            continue
-        if rng.random() < args.mutate:
-            for _ in range(rng.randint(1, 3)):
-                try:
-                    mut = molgen.mutate(parse_smiles(smi), rng)
-                except Exception:
-                    mut = None
-                if mut:
-                    smi = mut
-        can = chem_api.canonicalize(smi)
-        if can is None or can in seen:
-            continue
-        mw = chem_api.mol_wt(can)
-        if mw is None or not (args.mw_lo <= mw <= args.mw_hi):
-            continue
-        seen.add(can)
-        out.append(can)
-        if len(out) % 10000 == 0:
+        raw: list[str] = []
+        while len(raw) < 2048 and len(out) + len(raw) < args.n \
+                and trials < args.n * 60:
+            trials += 1
+            smi = assemble(ring_L, link_L, rng)
+            if smi is None:
+                continue
+            if rng.random() < args.mutate:
+                for _ in range(rng.randint(1, 3)):
+                    try:
+                        mut = molgen.mutate(parse_smiles(smi), rng)
+                    except Exception:
+                        mut = None
+                    if mut:
+                        smi = mut
+            raw.append(smi)
+        for can in chem_api.batch_canonicalize(raw):
+            if can is None or can in seen:
+                continue
+            mw = nat.mol_wt(can) if nat is not None else chem_api.mol_wt(can)
+            if mw is None or not (args.mw_lo <= mw <= args.mw_hi):
+                continue
+            seen.add(can)
+            out.append(can)
+        if len(out) - last_print >= 10000:
+            last_print = len(out) - len(out) % 10000
             rate = len(out) / max(time.time() - t0, 1e-9)
             print(f"[zinc-corpus] {len(out)}/{args.n} "
                   f"({rate:.0f} mol/s, accept {len(out)/trials:.2f})",
                   flush=True)
+    out = out[:args.n]
 
     rng.shuffle(out)
     with open(args.out, "w") as f:
