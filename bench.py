@@ -119,7 +119,7 @@ def main_e2e() -> None:
         # speculative name (a future commit by that name would silently
         # change the bench basis; VERDICT r3 weak #8). The basename is
         # pinned into the metric string below.
-        for name in ("mmt_r3_phase1.msgpack.gz",
+        for name in ("mmt_r4_phase3.msgpack.gz", "mmt_r3_phase1.msgpack.gz",
                      "mmt_r2_70k.msgpack.gz", "mmt_r2_45k.msgpack.gz"):
             default_w = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                      "weights", name)

@@ -51,6 +51,11 @@ def evaluate(records, params, mcfg, dcfg, seed=0):
             "target": r.target,
             "greedy": r.greedy,
             "greedy_valid": r.greedy_valid,
+            # harness semantics (r4 advisor): greedy_exact canonicalizes
+            # both sides; mns_exact is ANY-candidate exact — identical to
+            # harness.summarize, so zero-shot and LOO rows are comparable
+            "greedy_exact": bool(r.greedy_exact),
+            "mns_exact": bool(r.mns_exact),
             "greedy_tanimoto": round(r.greedy_tanimoto, 3),
             "corr_sampling_prob": float(r.corr_sampling_prob),
             "n_candidates": len(r.candidates),
@@ -64,11 +69,43 @@ def evaluate(records, params, mcfg, dcfg, seed=0):
     return mols, summary
 
 
+def agg(mols: list) -> dict:
+    """Fold aggregation with the same metric definitions as
+    harness.summarize (mean over molecules of the per-result fields)."""
+    return {
+        "greedy_exact": float(np.mean([m["greedy_exact"] for m in mols])),
+        "mns_exact": float(np.mean([m["mns_exact"] for m in mols])),
+        "best_tanimoto": float(np.mean([m["best_tanimoto"] for m in mols])),
+    }
+
+
+def measured_sigma(records) -> tuple[float, float]:
+    """Per-nucleus NN-MAE of the measured spectra vs our simulator on the
+    same molecules — the jitter/warp scale that makes the fine-tune's
+    domain randomization match the real measurement deviation."""
+    from multimodalspectraltransformer_tpu.sim import factory
+
+    sims = factory.simulate_records([r.smiles for r in records])
+    d13, d1 = [], []
+    for real, sim in zip(records, sims):
+        if real.c13 and sim.c13:
+            sc = np.asarray([float(x) for x in sim.c13])
+            d13 += [float(np.min(np.abs(sc - float(x)))) for x in real.c13]
+        if real.h1 and sim.h1:
+            sh = np.asarray([float(p[0]) for p in sim.h1])
+            d1 += [float(np.min(np.abs(sh - float(p[0])))) for p in real.h1]
+    s13 = float(np.mean(d13)) if d13 else 3.0
+    s1 = float(np.mean(d1)) if d1 else 0.2
+    return s13, s1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", required=True)
     ap.add_argument("--dir", default=REAL_DIR)
     ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps2", type=int, default=400,
+                    help="steps for the decoder+blend jitter-matched arm")
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--fanout", type=int, default=128)
     ap.add_argument("--rounds", type=int, default=10)
@@ -112,49 +149,63 @@ def main() -> int:
     # evaluating on overlapping inputs proves nothing — so each molecule is
     # evaluated under a blend head trained on the OTHER FOUR only, rotated.
     blend_mcfg = dataclasses.replace(mcfg, use_real_data=True)
-    blend_mols = []
-    for i, held in enumerate(records):
-        print(f"[real] LOO fold {i}: fine-tuning blend head on the other "
-              f"{len(records) - 1}...", flush=True)
-        fold_train = [r for j, r in enumerate(records) if j != i]
-        cfg = MMTConfig(
-            model=blend_mcfg,
-            train=TrainConfig(
-                learning_rate=args.lr, num_epochs=1000,
-                trainable_only=("real_data_linear",),
-                save_interval_steps=10**9, mixed_precision=True,
-            ),
-            data=DataConfig(batch_size=len(fold_train)),
-        )
-        train_records = dp.augment_records(fold_train, 8, seed=0)
-        loader = dp.Loader(
-            train_records, blend_mcfg, batch_size=min(16, len(train_records)),
-            seed=0, opts=dp.FeaturizeOptions(use_given_smiles_form=True),
-        )
-        result = run_training(
-            cfg, loader, init_params=params, max_steps=args.steps, log_every=50,
-        )
-        fold_mols, _ = evaluate([held], result.state.params, blend_mcfg, dcfg)
-        blend_mols.extend(fold_mols)
 
-    class _S:  # aggregate the 5 single-molecule folds like an EvalSummary
-        greedy_exact = float(np.mean([m["greedy"] == m["target"] for m in blend_mols]))
-        mns_exact = float(np.mean([
-            any(c["exact"] for c in m["top3"][:1]) for m in blend_mols
-        ]))
-        avg_best_tanimoto = float(np.mean([m["best_tanimoto"] for m in blend_mols]))
+    def loo_arm(label: str, trainable: tuple, steps: int, **tcfg_extra):
+        arm_mols = []
+        for i, held in enumerate(records):
+            print(f"[real] LOO fold {i} ({label}): fine-tuning on the other "
+                  f"{len(records) - 1}...", flush=True)
+            fold_train = [r for j, r in enumerate(records) if j != i]
+            cfg = MMTConfig(
+                model=blend_mcfg,
+                train=TrainConfig(
+                    learning_rate=args.lr, num_epochs=1000,
+                    trainable_only=trainable,
+                    save_interval_steps=10**9, mixed_precision=True,
+                    **tcfg_extra,
+                ),
+                data=DataConfig(batch_size=len(fold_train)),
+            )
+            train_records = dp.augment_records(fold_train, 8, seed=0)
+            loader = dp.Loader(
+                train_records, blend_mcfg, batch_size=min(16, len(train_records)),
+                seed=0, opts=dp.FeaturizeOptions(use_given_smiles_form=True),
+            )
+            result = run_training(
+                cfg, loader, init_params=params, max_steps=steps, log_every=50,
+            )
+            fold_mols, _ = evaluate([held], result.state.params, blend_mcfg, dcfg)
+            arm_mols.extend(fold_mols)
+        return arm_mols
 
-    blend_sum = _S()
+    # arm 1: the reference's path — blend head alone
+    blend_mols = loo_arm("blend head", ("real_data_linear",), args.steps)
+    blend_sum = agg(blend_mols)
+
+    # arm 2 (r4 verdict task 7): decoder + output head + blend head, with
+    # device-side jitter/warp matched to the MEASURED deviation of these
+    # spectra vs our simulator — the domain-randomization transforms the
+    # blank/warp campaign already uses (train/step.py), scaled by data
+    s13, s1 = measured_sigma(records)
+    print(f"[real] measured sigma: 13C {s13:.2f} ppm, 1H {s1:.3f} ppm",
+          flush=True)
+    deco_mols = loo_arm(
+        "decoder+blend, jitter-matched",
+        ("decoder", "fc_out", "real_data_linear"), args.steps2,
+        jitter_13c_ppm=s13, jitter_1h_ppm=s1, jitter_gate_p=0.5,
+        warp_13c_ppm=s13, warp_1h_ppm=s1,
+    )
+    deco_sum = agg(deco_mols)
 
     out = {
         "zero_shot": {"summary": {"greedy_exact": zero_sum.greedy_exact,
                                   "mns_exact": zero_sum.mns_exact,
                                   "best_tanimoto": zero_sum.avg_best_tanimoto},
                       "molecules": zero_mols},
-        "real_data_blend": {"summary": {"greedy_exact": blend_sum.greedy_exact,
-                                        "mns_exact": blend_sum.mns_exact,
-                                        "best_tanimoto": blend_sum.avg_best_tanimoto},
-                            "molecules": blend_mols},
+        "real_data_blend": {"summary": blend_sum, "molecules": blend_mols},
+        "real_data_decoder": {"summary": deco_sum, "molecules": deco_mols,
+                              "sigma_13c_ppm": s13, "sigma_1h_ppm": s1,
+                              "finetune_steps": args.steps2},
         "params": args.params,
         "finetune_steps": args.steps,
     }
@@ -185,25 +236,31 @@ def main() -> int:
         "| stage | greedy exact | MNS exact | mean best tanimoto |",
         "|---|---|---|---|",
         f"| zero-shot | {zero_sum.greedy_exact:.2f} | {zero_sum.mns_exact:.2f} | {zero_sum.avg_best_tanimoto:.3f} |",
-        f"| + blend head (LOO) | {blend_sum.greedy_exact:.2f} | {blend_sum.mns_exact:.2f} | {blend_sum.avg_best_tanimoto:.3f} |",
+        f"| + blend head (LOO) | {blend_sum['greedy_exact']:.2f} | {blend_sum['mns_exact']:.2f} | {blend_sum['best_tanimoto']:.3f} |",
+        f"| + decoder+blend, jitter-matched (LOO) | {deco_sum['greedy_exact']:.2f} | {deco_sum['mns_exact']:.2f} | {deco_sum['best_tanimoto']:.3f} |",
         "",
-        "## Per-molecule: zero-shot vs leave-one-out blend",
+        f"The decoder arm trains decoder/fc_out/blend for {args.steps2} steps",
+        "with device-side jitter+warp at the MEASURED deviation of these",
+        f"spectra vs our simulator ({s13:.2f} ppm 13C / {s1:.3f} ppm 1H",
+        "NN-MAE) — domain randomization centered on the actual sim2real gap.",
         "",
-        "| molecule | zs best tan | LOO best tan | zs top-rank tan | LOO top-rank tan |",
+        "## Per-molecule: zero-shot vs leave-one-out arms",
+        "",
+        "| molecule | zs best tan | blend LOO | decoder LOO | zs top-rank tan |",
         "|---|---|---|---|---|",
     ]
-    for mz, m in zip(zero_mols, blend_mols):
+    for mz, m, md2 in zip(zero_mols, blend_mols, deco_mols):
         zs_top = mz["top3"][0]["tanimoto"] if mz["top3"] else "-"
-        lo_top = m["top3"][0]["tanimoto"] if m["top3"] else "-"
         md.append(
             f"| `{m['target'][:40]}` | {mz['best_tanimoto']} | {m['best_tanimoto']} "
-            f"| {zs_top} | {lo_top} |"
+            f"| {md2['best_tanimoto']} | {zs_top} |"
         )
     md += ["", f"Checkpoint: `{args.params}`. Reproduce: this script's docstring."]
     with open(os.path.join(REPO, "REAL_DATA_DEMO.md"), "w") as f:
         f.write("\n".join(md) + "\n")
     print(json.dumps(out["zero_shot"]["summary"]), flush=True)
     print(json.dumps(out["real_data_blend"]["summary"]), flush=True)
+    print(json.dumps(out["real_data_decoder"]["summary"]), flush=True)
     return 0
 
 
