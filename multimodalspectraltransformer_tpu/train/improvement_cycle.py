@@ -28,7 +28,11 @@ from ..eval.harness import EvalSummary, evaluate_molecules
 from ..sim import factory as sim_factory
 from ..utils.config import DecodeConfig, MMTConfig
 from .loop import run_training
-from .molgen import MolGenConfig, generate_neighbors, sample_model_neighbors
+from .molgen import (
+    MolGenConfig,
+    generate_neighbors,
+    sample_model_neighbors_batch,
+)
 
 
 @dataclass
@@ -89,13 +93,15 @@ def run_improvement_cycle(
         aug_smiles: list[str] = []
         for rec in target_records:
             aug_smiles.extend(generate_neighbors(rec.smiles, icfg.molgen))
-            if icfg.model_neighbors:
-                aug_smiles.extend(
-                    sample_model_neighbors(
-                        params, cfg.model, rec.smiles, icfg.molgen,
-                        fanout=icfg.model_neighbor_fanout, record=rec,
-                    )
-                )
+        if icfg.model_neighbors:
+            # batched: ~chunk targets per compiled fan-out round instead of
+            # one encode+decode dispatch per target (measured r5: the
+            # sequential variant cost ~7 s/target through the tunnel)
+            for lst in sample_model_neighbors_batch(
+                params, cfg.model, target_records, icfg.molgen,
+                fanout=icfg.model_neighbor_fanout,
+            ):
+                aug_smiles.extend(lst)
         # 2) dataset-cleaning criteria (reference filter_invalid_criteria:
         # drop P/Si/bare-B/charged molecules, strip stereo) then filter vs
         # validation set (reference mrtf.filter_smiles)

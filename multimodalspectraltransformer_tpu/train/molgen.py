@@ -385,9 +385,13 @@ def sample_model_neighbors(
     cands = generation.generate_candidates(
         params, mcfg, enc.memory, enc.memory_key_padding_mask, rng, dcfg,
     )
+    return _filter_neighbor_pool(cands.smiles, can, target_mw, cfg)
+
+
+def _filter_neighbor_pool(smiles, can, target_mw, cfg) -> list[str]:
     accepted: list[str] = []
     scaffold_counts: dict[str, int] = {}
-    for smi in cands.smiles:
+    for smi in smiles:
         if smi == can or smi in accepted:
             continue
         if _passes_filters(smi, can, target_mw, cfg, scaffold_counts):
@@ -395,6 +399,76 @@ def sample_model_neighbors(
         if len(accepted) >= cfg.generations_per_target:
             break
     return accepted
+
+
+def sample_model_neighbors_batch(
+    params,
+    mcfg,
+    records,  # list[SampleRecord] with spectra for each target
+    cfg: MolGenConfig = MolGenConfig(),
+    fanout: int = 64,
+    temperature: float = 1.1,
+    max_rounds: int = 4,
+    chunk: int = 24,
+) -> list[list[str]]:
+    """:func:`sample_model_neighbors` over MANY targets per device call.
+
+    The improvement cycle's per-target variant pays one encode + one
+    fan-out decode dispatch PER molecule (~7 s each through the tunnel —
+    a 120-target cycle spent ~14 min here, measured r5); this batches
+    ``chunk`` targets into each compiled fan-out round via
+    ``generate_candidates_batch``, identical filter semantics per target.
+    Returns one accepted-neighbor list per input record.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import pipeline as dp
+    from ..eval import generation
+    from ..eval.harness import _encode_batch
+    from ..models import mmt as mmt_mod
+    from ..utils.config import DecodeConfig
+
+    model = mmt_mod.MultimodalTransformer(mcfg)
+    dcfg = DecodeConfig(
+        fanout=fanout,
+        multinom_runs=cfg.generations_per_target * 3,
+        max_temp_rounds=max_rounds,
+        temperature=temperature,
+        mw_filter=False,
+    )
+    out: list[list[str]] = []
+    for s in range(0, len(records), chunk):
+        block = records[s : s + chunk]
+        cans, feats, keep = [], [], []
+        for r in block:
+            can = chem.canonicalize(r.smiles)
+            f = dp.featurize(r, mcfg) if can is not None else None
+            if f is None:
+                continue
+            cans.append(can)
+            feats.append(f)
+            keep.append(r)
+        if not feats:
+            out.extend([[] for _ in block])
+            continue
+        batch = dp.collate(feats).inputs
+        enc = _encode_batch(model, params, jax.tree.map(jnp.asarray, batch))
+        digest = hashlib.sha256(
+            f"{cfg.seed}|model-batch|{'|'.join(cans)}".encode()
+        ).digest()
+        rng = jax.random.PRNGKey(int.from_bytes(digest[:4], "little"))
+        sets = generation.generate_candidates_batch(
+            params, mcfg, enc.memory, enc.memory_key_padding_mask, rng, dcfg,
+        )
+        by_can = {
+            c: _filter_neighbor_pool(cs.smiles, c, chem.mol_wt(c) or 0.0, cfg)
+            for c, cs in zip(cans, sets)
+        }
+        for r in block:
+            can = chem.canonicalize(r.smiles)
+            out.append(by_can.get(can, []))
+    return out
 
 
 def pool_diversity(smiles_list: list) -> dict:

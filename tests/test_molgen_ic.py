@@ -152,3 +152,35 @@ def test_pool_diversity_stats():
     assert sum(d["ring_bond_histogram"].values()) == d["n_unique"] - sum(
         0 for _ in ()
     ) or d["ring_bond_histogram"]
+
+
+def test_sample_model_neighbors_batch_matches_filters():
+    """The batched variant (one compiled fan-out round per ~chunk targets —
+    the r5 improvement-cycle hot path) must apply the same filter semantics
+    per target and return one list per input record, preserving order."""
+    import jax
+
+    from multimodalspectraltransformer_tpu.chem import api as chem
+    from multimodalspectraltransformer_tpu.models import mmt
+    from multimodalspectraltransformer_tpu.sim import factory
+    from multimodalspectraltransformer_tpu.train import molgen
+    from multimodalspectraltransformer_tpu.utils.config import ModelConfig
+
+    mcfg = ModelConfig(num_encoder_layers=1, num_decoder_layers=1, ffn_dim=128)
+    params = mmt.init_params(mcfg, jax.random.PRNGKey(0), batch_size=2)
+    cfg = molgen.MolGenConfig(generations_per_target=5, mw_delta=30.0,
+                              tanimoto_min=0.05, lipinski=False)
+    targets = ["CCOC(=O)c1ccccc1", "CC(C)Cc1ccc(C(C)C(=O)O)cc1"]
+    records = factory.simulate_records(targets)
+    outs = molgen.sample_model_neighbors_batch(
+        params, mcfg, records, cfg, fanout=16, max_rounds=1, chunk=2,
+    )
+    assert len(outs) == len(records)
+    for rec, out in zip(records, outs):
+        can = chem.canonicalize(rec.smiles)
+        mw = chem.mol_wt(can)
+        for smi in out:
+            assert chem.canonicalize(smi) == smi
+            assert smi != can
+            assert chem.mol_wt(smi) <= mw + cfg.mw_delta
+            assert chem.tanimoto(smi, can) >= cfg.tanimoto_min
