@@ -358,8 +358,13 @@ def evaluate_molecules(
         with_cands = [i for i in range(len(feats)) if all_cands[i].smiles]
         if with_cands:
             # clip_block is a MINIMUM width (one executable across calls);
-            # never truncate real candidates out of the scoring block
+            # never truncate real candidates out of the scoring block.
+            # Bucket to a multiple of 8 above the minimum so injected
+            # extras (bench) don't mint a fresh executable per distinct
+            # candidate count
             width = max(clip_block, max(len(all_cands[i].smiles) for i in with_cands))
+            if width > clip_block:
+                width = clip_block + ((width - clip_block + 7) // 8) * 8
             tok_blocks, mask_blocks, n_reals = [], [], []
             for i in with_cands:
                 smis = list(all_cands[i].smiles)[:width]
@@ -378,6 +383,7 @@ def evaluate_molecules(
                     cvars, ccfg,
                     jnp.asarray(np.stack(tok_blocks)), jnp.asarray(np.stack(mask_blocks)),
                     enc.fingerprint[jnp.asarray(with_cands)],
+                    compute_dtype=dcfg.compute_dtype,
                 ),
                 with_cands,
                 n_reals,

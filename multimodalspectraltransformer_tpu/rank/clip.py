@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -179,13 +179,14 @@ def score_candidates(
     return ScoreOutput(out.per_sample_loss, dot, out.logits)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def score_candidates_batch(
     variables: Any,
     cfg: CLIPConfig,
     cand_tokens: Array,  # [M, C, T] — M molecules, C candidates each
     cand_mask: Array,  # [M, C, T]
     fingerprints: Array,  # [M, F] one spectrum fingerprint per molecule
+    compute_dtype: Optional[str] = None,  # "bfloat16": tower in bf16, loss f32
 ) -> ScoreOutput:
     """Batched ``score_candidates`` over many molecules in ONE executable.
 
@@ -201,16 +202,26 @@ def score_candidates_batch(
     """
     M, C, T = cand_tokens.shape
     model = CLIPRanker(cfg)
+    if compute_dtype == "bfloat16":
+        # scores are reported per candidate but carry no rank weight by
+        # default (ACCURACY_r05clip.md): the tower runs bf16 (MXU-rate
+        # matmuls), embeddings are cast back to f32 for the loss block
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            variables,
+        )
+        fingerprints = fingerprints.astype(jnp.bfloat16)
     cb = model.apply(
         variables, cand_tokens.reshape(M * C, T), cand_mask.reshape(M * C, T),
         True, method="embed_text",
-    ).reshape(M, C, -1)
+    ).reshape(M, C, -1).astype(jnp.float32)
     # project the M unique fingerprints ONCE and tile the embeddings —
     # numerically identical to the reference's duplicated-row projection
     # (deterministic head on identical inputs) at 1/C the projection work
     mt_unique = model.apply(
         variables, fingerprints, True, method="embed_spectrum"
-    )  # [M, D]
+    ).astype(jnp.float32)  # [M, D]
     mt = jnp.tile(mt_unique[:, None, :], (1, C, 1))
 
     def one(cb_m, mt_m):
