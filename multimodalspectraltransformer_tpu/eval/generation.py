@@ -163,12 +163,12 @@ def generate_candidates_batch(
         )
 
     # Round-shrink (DecodeConfig.round_shrink): escalation rounds regather
-    # only the still-unsatisfied molecules into one of THREE static widths
-    # {ceil(B/4), ceil(B/2), B} — the fan-out decode is the FLOP-dominant
+    # only the still-unsatisfied molecules into one of FOUR static widths
+    # {ceil(B/4), ceil(B/2), ceil(2B/3), B} — the fan-out decode is the FLOP-dominant
     # stage and rounds are batch-synchronized, so full-width rounds paid
     # the whole 6144-lane decode for lanes whose results were discarded
     # (on the trained checkpoint ~45% of molecules need round 1, ~11% run
-    # all rounds). Three widths keep the executable count bounded; the
+    # all rounds). Four widths keep the executable count bounded; the
     # narrow batch is built by one device-side row gather of the encoder
     # memory. Disabled when memory is sharded over >1 device (a narrow
     # gather would fight the GSPMD batch partitioning).
@@ -183,7 +183,12 @@ def generate_candidates_batch(
     def _width(n: int) -> int:
         if not shrink:
             return B
-        for w in (max(1, (B + 3) // 4), max(1, (B + 1) // 2), B):
+        # four static widths {B/4, B/2, 2B/3, B}: the r5 bench profile
+        # showed escalation rounds with 25-32 of 48 unsatisfied running
+        # full-width — the 2/3 step recovers a third of those rounds'
+        # decode FLOPs for one extra cached executable
+        for w in (max(1, (B + 3) // 4), max(1, (B + 1) // 2),
+                  max(1, (2 * B + 2) // 3), B):
             if n <= w:
                 return w
         return B

@@ -351,7 +351,7 @@ class DecodeConfig:
     # in the sequential while_loop trip count (the roofline's residual
     # bound), so a light-molecule batch pays 40 steps instead of 64.
     # Candidates longer than target+12 would be MW-filtered rejects anyway;
-    # executable count stays bounded (<=3 lengths x <=3 shrink widths).
+    # executable count stays bounded (<=3 lengths x <=4 shrink widths).
     # Default OFF (r4 advisor): setting decode length from ground-truth
     # target lengths is information the reference pipeline doesn't use —
     # headline accuracy/bench numbers must not depend on it. Opt in for
