@@ -25,3 +25,19 @@ assert len(jax.devices()) == 8, jax.devices()
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# The XLA:CPU compiler segfaults deterministically around the ~258th
+# collected item in a full-suite run (reproduced twice 2026-08-20 at the
+# same POSITION while different tests held it — it moved when a test was
+# inserted earlier; every victim passes in isolation). The crash is inside
+# backend_compile_and_load after ~250 tests' worth of live executables, so
+# bound the per-process accumulation: drop jit/executable caches at every
+# module boundary. Re-JITs hit the persistent disk cache above, so the
+# overhead is parse+load, not recompilation.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
